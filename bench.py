@@ -1,0 +1,69 @@
+"""Benchmark: gim_loftr image pairs/sec/chip at 840px (the north-star config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / A100_PYTORCH_PAIRS_PER_SEC, i.e. the speedup over
+the reference stack (A100 PyTorch gim_loftr at 840px, bs 1, eval protocol of
+TEST_GIM_LOFTR.sh). The reference publishes no throughput (SURVEY §6); we
+take 5.0 pairs/s as a generous A100 estimate (LoFTR-class models run
+~150-250 ms/pair at ~0.7 MPix on A100). Target: vs_baseline >= 5.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("GIM_TPU_COMPILE_CACHE", "/tmp/gim_tpu_compile_cache")
+
+A100_PYTORCH_PAIRS_PER_SEC = 5.0
+IMG = 832  # 840 rounded to /64 for clean MXU tiling; same token regime
+BATCH = 1
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["GIM_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from gim_tpu.api import match_fn
+    from gim_tpu.config import GimConfig, LoFTRConfig
+    from gim_tpu.models.loftr import init_params
+
+    cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048))
+    variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))
+
+    fn = jax.jit(lambda v, a, b, s0, s1: match_fn("gim_loftr", cfg, v, a, b,
+                                                  s0, s1))
+    key = jax.random.PRNGKey(1)
+    img0 = jax.random.uniform(key, (BATCH, 3, IMG, IMG), jnp.float32)
+    img1 = jax.random.uniform(jax.random.PRNGKey(2),
+                              (BATCH, 3, IMG, IMG), jnp.float32)
+    scale = jnp.ones((BATCH, 2), jnp.float32)
+
+    # warmup / compile
+    out = fn(variables, img0, img1, scale, scale)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(variables, img0, img1, scale, scale)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": f"gim_loftr image pairs/sec/chip @ {IMG}px",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / A100_PYTORCH_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""High-level matcher API.
+
+The single entry point a reference user needs: build a matcher by name
+(`gim_lightglue`, `gim_loftr`, `gim_dkm`, `gim_roma`, `root_sift`), feed an
+image pair, get `MatchResult` — the normalized output contract of the
+reference's per-model inference adapters (ref trainer/lightning.py:124-241:
+`{mkpts0_f, mkpts1_f, m_bids, mconf}`), as fixed-shape arrays with a
+validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gim_tpu import config as C
+from gim_tpu.models import lightglue as lg
+from gim_tpu.models import superpoint as sp
+from gim_tpu.models.loftr import LoFTRMatcher, init_params as loftr_init
+
+
+@flax.struct.dataclass
+class MatchResult:
+    """Fixed-shape match set for a batch of pairs."""
+
+    kpts0: jax.Array   # (B, M, 2) pixels in image0 (resized frame)
+    kpts1: jax.Array   # (B, M, 2)
+    conf: jax.Array    # (B, M)
+    valid: jax.Array   # (B, M) bool
+
+    def numpy_pair(self, b: int = 0):
+        v = np.asarray(self.valid[b])
+        return (np.asarray(self.kpts0[b])[v], np.asarray(self.kpts1[b])[v],
+                np.asarray(self.conf[b])[v])
+
+
+MODEL_ZOO = ("gim_lightglue", "gim_loftr", "gim_dkm", "gim_roma", "root_sift")
+
+
+class Matcher:
+    """Stateful convenience wrapper holding params + jitted apply."""
+
+    def __init__(self, name: str, cfg: C.GimConfig | None = None,
+                 variables: Any = None, rng: jax.Array | None = None):
+        if name not in MODEL_ZOO:
+            raise ValueError(f"unknown model {name}; choose from {MODEL_ZOO}")
+        self.name = name
+        self.cfg = cfg or C.GimConfig()
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.variables = variables or self._init(rng)
+        self._jitted: dict = {}
+
+    # -- construction -------------------------------------------------------
+
+    def _init(self, rng):
+        if self.name == "gim_lightglue":
+            r0, r1 = jax.random.split(rng)
+            return {
+                "superpoint": sp.init_params(r0, self.cfg.superpoint),
+                "lightglue": lg.init_params(r1, self.cfg.lightglue),
+            }
+        if self.name == "gim_loftr":
+            return loftr_init(rng, self.cfg.loftr)
+        if self.name == "root_sift":
+            return {}
+        raise NotImplementedError(f"{self.name} weights not wired yet")
+
+    @classmethod
+    def from_checkpoint(cls, name: str, ckpt_path: str,
+                        cfg: C.GimConfig | None = None) -> "Matcher":
+        from gim_tpu.weights import port
+
+        sd = port.load_torch_state_dict(ckpt_path)
+        if name == "gim_lightglue":
+            sp_sd, lg_sd = port.split_gim_lightglue(sd)
+            variables = {"superpoint": port.port_superpoint(sp_sd),
+                         "lightglue": port.port_lightglue(lg_sd)}
+        elif name == "gim_loftr":
+            variables = port.port_loftr(sd)
+        else:
+            raise NotImplementedError(name)
+        return cls(name, cfg, variables)
+
+    # -- matching -----------------------------------------------------------
+
+    def match(self, image0: jax.Array, image1: jax.Array,
+              scale0: jax.Array | None = None,
+              scale1: jax.Array | None = None,
+              mask0: jax.Array | None = None,
+              mask1: jax.Array | None = None) -> MatchResult:
+        """image0/1: (B, 3, H, W) float [0,1] (resized/padded frame).
+        scale: (B, 2) [w/w', h/h'] to map back to original pixels."""
+        B = image0.shape[0]
+        if scale0 is None:
+            scale0 = jnp.ones((B, 2))
+        if scale1 is None:
+            scale1 = jnp.ones((B, 2))
+        fn = self._get_jitted(image0.shape, mask0 is not None)
+        return fn(self.variables, image0, image1, scale0, scale1, mask0, mask1)
+
+    def _get_jitted(self, shape, has_mask: bool) -> Callable:
+        key = (shape, has_mask)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(partial(match_fn, self.name, self.cfg))
+        return self._jitted[key]
+
+
+def match_fn(name: str, cfg: C.GimConfig, variables, image0, image1,
+             scale0, scale1, mask0=None, mask1=None) -> MatchResult:
+    """Pure jittable match function (used directly under pjit)."""
+    if name == "gim_lightglue":
+        return _match_lightglue(cfg, variables, image0, image1, scale0, scale1,
+                                mask0, mask1)
+    if name == "gim_loftr":
+        out = LoFTRMatcher(cfg.loftr).apply(
+            variables, image0, image1, scale0, scale1, mask0, mask1)
+        return MatchResult(out["mkpts0_f"], out["mkpts1_f"], out["mconf"],
+                           out["valid"])
+    raise NotImplementedError(name)
+
+
+def _match_lightglue(cfg: C.GimConfig, variables, image0, image1,
+                     scale0, scale1, mask0=None, mask1=None) -> MatchResult:
+    """SuperPoint x2 + LightGlue + match gather (ref demo.py:472-511,
+    trainer/lightning.py gim_lightglue adapter)."""
+    B, _, H, W = image0.shape
+
+    def true_wh(mask):
+        if mask is None:
+            return jnp.tile(jnp.array([[W, H]], jnp.float32), (B, 1))
+        h = mask.sum(1).max(-1)
+        w = mask.sum(2).max(-1)
+        return jnp.stack([w, h], -1).astype(jnp.float32)
+
+    wh0 = true_wh(mask0)
+    wh1 = true_wh(mask1)
+    hw0 = wh0[:, ::-1]
+    hw1 = wh1[:, ::-1]
+
+    p0 = sp.extract(variables["superpoint"], image0, cfg.superpoint,
+                    image_hw=hw0, pad_rng=jax.random.PRNGKey(97))
+    p1 = sp.extract(variables["superpoint"], image1, cfg.superpoint,
+                    image_hw=hw1, pad_rng=jax.random.PRNGKey(131))
+
+    out = lg.LightGlue(cfg.lightglue).apply(
+        variables["lightglue"], p0["keypoints"], p1["keypoints"],
+        p0["descriptors"], p1["descriptors"], wh0, wh1,
+        p0["valid"], p1["valid"])
+
+    m0 = out["matches0"]                          # (B, K) partner or -1
+    valid = m0 >= 0
+    idx = jnp.maximum(m0, 0)
+    k0 = p0["keypoints"] * scale0[:, None, :]
+    k1 = p1["keypoints"] * scale1[:, None, :]
+    k1_m = jnp.take_along_axis(k1, idx[..., None], axis=1)
+    conf = out["matching_scores0"]
+    return MatchResult(k0, k1_m, jnp.where(valid, conf, 0.0), valid)

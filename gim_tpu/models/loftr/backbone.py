@@ -1,0 +1,141 @@
+"""ResNet-50 bottleneck FPN backbone for gim_loftr (1/8 + 1/2 features).
+
+Parity target: /root/reference/networks/loftr/backbone/resnet.py:247-329 —
+NOTE this is GIM's RGB ResNet-50 variant (Bottleneck [3,4,6,3], 7x7/2 stem,
+NO maxpool, truncated after layer3), not the original grayscale LoFTR
+backbone. FPN heads: 1x1 lateral convs + 3x3/BN/LeakyReLU refine, bilinear
+align_corners=True upsampling. Outputs: coarse 256ch @1/8, fine 128ch @1/2.
+
+Layout: NHWC. BatchNorm uses running stats at eval; pass axis_name for
+cross-device sync when training (the jax analog of sync_batchnorm=True,
+ref test.py:196).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1.5 bottleneck (stride on the 3x3)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    train: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        bn = lambda name: nn.BatchNorm(use_running_average=not self.train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       axis_name=self.axis_name, name=name)
+        width = self.planes
+        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        # explicit ((1,1),(1,1)): torch pads symmetrically for stride-2 3x3,
+        # flax "SAME" would pad (0,1) and shift the grid
+        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(width * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            idn = nn.Conv(width * 4, (1, 1),
+                          strides=(self.stride, self.stride),
+                          use_bias=False, name="down_conv")(x)
+            idn = bn("down_bn")(idn)
+        else:
+            idn = x
+        return nn.relu(out + idn)
+
+
+class ResNet50Trunk(nn.Module):
+    """conv1(7x7/2) + layer1..3, no maxpool (ref resnet.py:158-169,230-235)."""
+
+    train: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        bn = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                          epsilon=1e-5, axis_name=self.axis_name, name="bn1")
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x0 = nn.relu(bn(x))
+
+        def layer(x, planes, blocks, stride, name):
+            x = Bottleneck(planes, stride, downsample=True, train=self.train,
+                           axis_name=self.axis_name, name=f"{name}_0")(x)
+            for i in range(1, blocks):
+                x = Bottleneck(planes, 1, train=self.train,
+                               axis_name=self.axis_name,
+                               name=f"{name}_{i}")(x)
+            return x
+
+        x1 = layer(x0, 64, 3, 1, "layer1")    # 1/2, 256ch
+        x2 = layer(x1, 128, 4, 2, "layer2")   # 1/4, 512ch
+        x3 = layer(x2, 256, 6, 2, "layer3")   # 1/8, 1024ch
+        return x1, x2, x3
+
+
+def _upsample2x_align_corners(x):
+    """Bilinear 2x with align_corners=True (torch F.interpolate parity;
+    jax.image.resize only offers the half-pixel convention)."""
+    B, H, W, C = x.shape
+    Ho, Wo = 2 * H, 2 * W
+    ys = jnp.linspace(0.0, H - 1.0, Ho)
+    xs = jnp.linspace(0.0, W - 1.0, Wo)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    g = lambda yy, xx: x[:, yy][:, :, xx]
+    out = (g(y0, x0) * (1 - wy) * (1 - wx) + g(y0, x1) * (1 - wy) * wx
+           + g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
+    return out
+
+
+class ResNetFPN(nn.Module):
+    """FPN over the ResNet-50 trunk (ref resnet.py:274-329)."""
+
+    block_dims: tuple[int, ...] = (64, 128, 196, 256, 512, 1024)
+    train: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        bd = self.block_dims
+        bn = lambda name: nn.BatchNorm(use_running_average=not self.train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       axis_name=self.axis_name, name=name)
+        x1, x2, x3 = ResNet50Trunk(self.train, self.axis_name,
+                                   name="encode")(x)
+
+        x3_out = nn.Conv(bd[3], (1, 1), use_bias=False,
+                         name="layer3_outconv")(x3)
+
+        x3_2x = _upsample2x_align_corners(x3_out)
+        x2_out = nn.Conv(bd[3], (1, 1), use_bias=False,
+                         name="layer2_outconv")(x2)
+        h = nn.Conv(bd[3], (3, 3), padding="SAME", use_bias=False,
+                    name="layer2_outconv2_0")(x2_out + x3_2x)
+        h = nn.leaky_relu(bn("layer2_outconv2_bn")(h), 0.01)
+        x2_out = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False,
+                         name="layer2_outconv2_1")(h)
+
+        x2_2x = _upsample2x_align_corners(x2_out)
+        x1_out = nn.Conv(bd[2], (1, 1), use_bias=False,
+                         name="layer1_outconv")(x1)
+        h = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False,
+                    name="layer1_outconv2_0")(x1_out + x2_2x)
+        h = nn.leaky_relu(bn("layer1_outconv2_bn")(h), 0.01)
+        x1_out = nn.Conv(bd[1], (3, 3), padding="SAME", use_bias=False,
+                         name="layer1_outconv2_1")(h)
+
+        return x3_out, x1_out  # coarse 1/8 (256), fine 1/2 (128)

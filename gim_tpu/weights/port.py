@@ -1,0 +1,214 @@
+"""Torch checkpoint -> flax params conversion.
+
+Implements the reference's load-bearing key-remap conventions
+(ref demo.py:355-395, trainer/lightning.py:68-99):
+- unwrap 'state_dict',
+- gim_lightglue ckpts hold detector under 'superpoint.' and matcher under
+  'model.',
+- gim_dkm/gim_roma strip 'model.' and drop 'encoder.net.fc',
+- gim_loftr ckpts load as-is (keys already match).
+
+Tensor layout conversion: torch Conv2d OIHW -> flax HWIO; torch Linear
+(out, in) -> flax Dense (in, out); LayerNorm weight -> scale.
+torch is used host-side for deserialization only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def split_prefix(sd: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch (out, in) -> flax (in, out)."""
+    return np.transpose(w)
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+class Mapper:
+    """Accumulates torch-key -> flax-path assignments, tracks leftovers."""
+
+    def __init__(self, sd: dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.tree: dict = {}
+        self.stats: dict = {}
+
+    def conv(self, tkey: str, fpath: str, bias: bool = True):
+        _set(self.tree, fpath + "/kernel", conv_kernel(self.sd.pop(tkey + ".weight")))
+        if bias and tkey + ".bias" in self.sd:
+            _set(self.tree, fpath + "/bias", self.sd.pop(tkey + ".bias"))
+
+    def dense(self, tkey: str, fpath: str):
+        _set(self.tree, fpath + "/kernel", dense_kernel(self.sd.pop(tkey + ".weight")))
+        if tkey + ".bias" in self.sd:
+            _set(self.tree, fpath + "/bias", self.sd.pop(tkey + ".bias"))
+
+    def layernorm(self, tkey: str, fpath: str):
+        _set(self.tree, fpath + "/scale", self.sd.pop(tkey + ".weight"))
+        _set(self.tree, fpath + "/bias", self.sd.pop(tkey + ".bias"))
+
+    def batchnorm(self, tkey: str, fpath: str):
+        """torch BN -> flax BatchNorm: scale/bias into params, running
+        mean/var into the batch_stats collection."""
+        _set(self.tree, fpath + "/scale", self.sd.pop(tkey + ".weight"))
+        _set(self.tree, fpath + "/bias", self.sd.pop(tkey + ".bias"))
+        _set(self.stats, fpath + "/mean", self.sd.pop(tkey + ".running_mean"))
+        _set(self.stats, fpath + "/var", self.sd.pop(tkey + ".running_var"))
+        self.sd.pop(tkey + ".num_batches_tracked", None)
+
+    def raw(self, tkey: str, fpath: str, fn: Callable = lambda x: x):
+        _set(self.tree, fpath, fn(self.sd.pop(tkey)))
+
+    def drop(self, *patterns: str):
+        for k in list(self.sd):
+            if any(p in k for p in patterns):
+                self.sd.pop(k)
+
+
+# ---------------------------------------------------------------------------
+# gim_lightglue
+# ---------------------------------------------------------------------------
+
+def split_gim_lightglue(sd: dict) -> tuple[dict, dict]:
+    """A gim_lightglue ckpt -> (superpoint_sd, lightglue_sd)
+    (ref demo.py:378-395)."""
+    return split_prefix(sd, "superpoint."), split_prefix(sd, "model.")
+
+
+def port_superpoint(sd: dict) -> dict:
+    """SuperPoint torch state dict -> flax params for SuperPointNet."""
+    m = Mapper(sd)
+    for name in ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+                 "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb"]:
+        m.conv(name, name)
+    assert not m.sd, f"unmapped superpoint keys: {list(m.sd)[:8]}"
+    return {"params": m.tree}
+
+
+def port_lightglue(sd: dict, n_layers: int = 9) -> dict:
+    """LightGlue torch state dict -> flax params for models.lightglue.LightGlue.
+
+    Only the static-depth eval path is populated: per-layer token_confidence
+    heads and intermediate log_assignment heads (early-exit machinery, off by
+    default ref :316-317) are dropped except the final assignment.
+    """
+    m = Mapper(sd)
+    m.dense("posenc.Wr", "posenc/Wr")
+    if any(k.startswith("input_proj.") for k in m.sd):
+        m.dense("input_proj", "input_proj")
+    for i in range(n_layers):
+        sa = f"transformers.{i}.self_attn"
+        m.dense(f"{sa}.Wqkv", f"self_{i}/Wqkv")
+        m.dense(f"{sa}.out_proj", f"self_{i}/out_proj")
+        m.dense(f"{sa}.ffn.0", f"self_{i}/ffn/fc1")
+        m.layernorm(f"{sa}.ffn.1", f"self_{i}/ffn/norm")
+        m.dense(f"{sa}.ffn.3", f"self_{i}/ffn/fc2")
+        ca = f"transformers.{i}.cross_attn"
+        m.dense(f"{ca}.to_qk", f"cross_{i}/to_qk")
+        m.dense(f"{ca}.to_v", f"cross_{i}/to_v")
+        m.dense(f"{ca}.to_out", f"cross_{i}/to_out")
+        m.dense(f"{ca}.ffn.0", f"cross_{i}/ffn/fc1")
+        m.layernorm(f"{ca}.ffn.1", f"cross_{i}/ffn/norm")
+        m.dense(f"{ca}.ffn.3", f"cross_{i}/ffn/fc2")
+    last = n_layers - 1
+    m.dense(f"log_assignment.{last}.final_proj", "assign_final/final_proj")
+    m.dense(f"log_assignment.{last}.matchability", "assign_final/matchability")
+    m.drop("log_assignment.", "token_confidence.", "confidence_thresholds")
+    assert not m.sd, f"unmapped lightglue keys: {list(m.sd)[:8]}"
+    return {"params": m.tree}
+
+
+# ---------------------------------------------------------------------------
+# gim_loftr
+# ---------------------------------------------------------------------------
+
+def normalize_gim_loftr(sd: dict) -> dict:
+    """Strip the ckpt's 'model.'/'matcher.' prefixes
+    (ref networks/loftr/loftr.py:93-99)."""
+    out = {}
+    for k, v in sd.items():
+        for p in ("model.", "matcher."):
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def _port_resnet50_trunk(m: "Mapper", tprefix: str, fprefix: str):
+    m.conv(f"{tprefix}.conv1", f"{fprefix}/conv1", bias=False)
+    m.batchnorm(f"{tprefix}.bn1", f"{fprefix}/bn1")
+    for li, blocks in (("1", 3), ("2", 4), ("3", 6)):
+        for b in range(blocks):
+            t = f"{tprefix}.layer{li}.{b}"
+            f = f"{fprefix}/layer{li}_{b}"
+            for c in ("1", "2", "3"):
+                m.conv(f"{t}.conv{c}", f"{f}/conv{c}", bias=False)
+                m.batchnorm(f"{t}.bn{c}", f"{f}/bn{c}")
+            if f"{t}.downsample.0.weight" in m.sd:
+                m.conv(f"{t}.downsample.0", f"{f}/down_conv", bias=False)
+                m.batchnorm(f"{t}.downsample.1", f"{f}/down_bn")
+
+
+def _port_loftr_transformer(m: "Mapper", tprefix: str, fprefix: str,
+                            n_pairs: int):
+    """ModuleList layers alternate self,cross (ref transformer.py:70-72)."""
+    for i in range(n_pairs):
+        for which, idx in (("self", 2 * i), ("cross", 2 * i + 1)):
+            t = f"{tprefix}.layers.{idx}"
+            f = f"{fprefix}/{which}_{i}"
+            for p in ("q_proj", "k_proj", "v_proj", "merge"):
+                m.dense(f"{t}.{p}", f"{f}/{p}")
+            m.dense(f"{t}.mlp.0", f"{f}/mlp1")
+            m.dense(f"{t}.mlp.2", f"{f}/mlp2")
+            m.layernorm(f"{t}.norm1", f"{f}/norm1")
+            m.layernorm(f"{t}.norm2", f"{f}/norm2")
+
+
+def port_loftr(sd: dict, n_pairs_coarse: int = 4,
+               n_pairs_fine: int = 1) -> dict:
+    """gim_loftr torch state dict -> flax variables for LoFTRMatcher."""
+    m = Mapper(normalize_gim_loftr(sd))
+    # backbone
+    _port_resnet50_trunk(m, "backbone.encode", "backbone/encode")
+    for name in ("layer3_outconv", "layer2_outconv", "layer1_outconv"):
+        m.conv(f"backbone.{name}", f"backbone/{name}", bias=False)
+    for lo in ("layer2_outconv2", "layer1_outconv2"):
+        m.conv(f"backbone.{lo}.0", f"backbone/{lo}_0", bias=False)
+        m.batchnorm(f"backbone.{lo}.1", f"backbone/{lo}_bn")
+        m.conv(f"backbone.{lo}.3", f"backbone/{lo}_1", bias=False)
+    # transformers
+    _port_loftr_transformer(m, "loftr_coarse", "loftr_coarse", n_pairs_coarse)
+    _port_loftr_transformer(m, "loftr_fine", "loftr_fine", n_pairs_fine)
+    # fine preprocess
+    m.dense("fine_preprocess.down_proj", "fine_preprocess/down_proj")
+    m.dense("fine_preprocess.merge_feat", "fine_preprocess/merge_feat")
+    m.drop("coarse_matching.", "fine_matching.", "pos_encoding.")
+    assert not m.sd, f"unmapped loftr keys: {list(m.sd)[:8]}"
+    return {"params": m.tree, "batch_stats": m.stats}

@@ -1,0 +1,20 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are exercised without TPU hardware
+(xla_force_host_platform_device_count), mirroring how the driver dry-runs
+`__graft_entry__.dryrun_multichip`. Pallas kernels auto-fall back to
+interpret mode off-TPU (see gim_tpu/ops/pallas_kernels/common.py).
+"""
+
+import os
+
+# The image pre-sets JAX_PLATFORMS=axon (TPU tunnel); tests must force CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

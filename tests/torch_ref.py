@@ -1,0 +1,271 @@
+"""Minimal torch ground-truth implementations for weight-port parity tests.
+
+These re-derive the published SuperPoint/LightGlue math (DeTone et al. 2018;
+Lindenberger et al. 2023) with the same parameter names/shapes as the
+reference checkpoints, so `state_dict()` from these modules is layout-
+identical to a real gim_lightglue ckpt fragment. Test-only code — the
+production path is pure JAX.
+"""
+
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+class TorchSuperPointNet(nn.Module):
+    """Dense heads of SuperPoint (encoder + score/descriptor heads)."""
+
+    def __init__(self, descriptor_dim=256):
+        super().__init__()
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        self.conv1a = nn.Conv2d(1, c1, 3, 1, 1)
+        self.conv1b = nn.Conv2d(c1, c1, 3, 1, 1)
+        self.conv2a = nn.Conv2d(c1, c2, 3, 1, 1)
+        self.conv2b = nn.Conv2d(c2, c2, 3, 1, 1)
+        self.conv3a = nn.Conv2d(c2, c3, 3, 1, 1)
+        self.conv3b = nn.Conv2d(c3, c3, 3, 1, 1)
+        self.conv4a = nn.Conv2d(c3, c4, 3, 1, 1)
+        self.conv4b = nn.Conv2d(c4, c4, 3, 1, 1)
+        self.convPa = nn.Conv2d(c4, c5, 3, 1, 1)
+        self.convPb = nn.Conv2d(c5, 65, 1, 1, 0)
+        self.convDa = nn.Conv2d(c4, c5, 3, 1, 1)
+        self.convDb = nn.Conv2d(c5, descriptor_dim, 1, 1, 0)
+
+    def forward(self, image):
+        relu, pool = F.relu, lambda x: F.max_pool2d(x, 2, 2)
+        x = relu(self.conv1a(image))
+        x = relu(self.conv1b(x))
+        x = pool(x)
+        x = relu(self.conv2a(x))
+        x = relu(self.conv2b(x))
+        x = pool(x)
+        x = relu(self.conv3a(x))
+        x = relu(self.conv3b(x))
+        x = pool(x)
+        x = relu(self.conv4a(x))
+        x = relu(self.conv4b(x))
+        scores = self.convPb(relu(self.convPa(x)))
+        scores = F.softmax(scores, 1)[:, :-1]
+        b, _, h, w = scores.shape
+        scores = scores.permute(0, 2, 3, 1).reshape(b, h, w, 8, 8)
+        scores = scores.permute(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
+        desc = self.convDb(relu(self.convDa(x)))
+        desc = F.normalize(desc, p=2, dim=1)
+        return scores, desc
+
+
+def rotate_half(x):
+    x = x.unflatten(-1, (-1, 2))
+    x1, x2 = x.unbind(dim=-1)
+    return torch.stack((-x2, x1), dim=-1).flatten(start_dim=-2)
+
+
+def apply_rotary(freqs, t):
+    return (t * freqs[0]) + (rotate_half(t) * freqs[1])
+
+
+class TorchPosEnc(nn.Module):
+    def __init__(self, M=2, dim=64):
+        super().__init__()
+        self.Wr = nn.Linear(M, dim // 2, bias=False)
+
+    def forward(self, x):
+        p = self.Wr(x)
+        emb = torch.stack([torch.cos(p), torch.sin(p)], 0).unsqueeze(-3)
+        return emb.repeat_interleave(2, dim=-1)
+
+
+def _ffn(dim):
+    return nn.Sequential(nn.Linear(2 * dim, 2 * dim), nn.LayerNorm(2 * dim),
+                         nn.GELU(), nn.Linear(2 * dim, dim))
+
+
+class TorchSelfBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.head_dim = dim // heads
+        self.Wqkv = nn.Linear(dim, 3 * dim)
+        self.out_proj = nn.Linear(dim, dim)
+        self.ffn = _ffn(dim)
+
+    def forward(self, x, enc):
+        qkv = self.Wqkv(x).unflatten(-1, (self.heads, -1, 3)).transpose(1, 2)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        q = apply_rotary(enc, q)
+        k = apply_rotary(enc, k)
+        ctx = F.scaled_dot_product_attention(q, k, v)
+        msg = self.out_proj(ctx.transpose(1, 2).flatten(start_dim=-2))
+        return x + self.ffn(torch.cat([x, msg], -1))
+
+
+class TorchCrossBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        dh = dim // heads
+        self.scale = dh ** -0.5
+        self.to_qk = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.to_out = nn.Linear(dim, dim)
+        self.ffn = _ffn(dim)
+
+    def forward(self, x0, x1):
+        h = self.heads
+        s = lambda t: t.unflatten(-1, (h, -1)).transpose(1, 2)
+        qk0, qk1 = s(self.to_qk(x0)), s(self.to_qk(x1))
+        v0, v1 = s(self.to_v(x0)), s(self.to_v(x1))
+        qk0 = qk0 * self.scale ** 0.5
+        qk1 = qk1 * self.scale ** 0.5
+        sim = torch.einsum("bhid,bhjd->bhij", qk0, qk1)
+        a01 = F.softmax(sim, dim=-1)
+        a10 = F.softmax(sim.transpose(-2, -1), dim=-1)
+        m0 = torch.einsum("bhij,bhjd->bhid", a01, v1)
+        m1 = torch.einsum("bhji,bhjd->bhid", a10.transpose(-2, -1), v0)
+        g = lambda t: t.transpose(1, 2).flatten(start_dim=-2)
+        m0, m1 = self.to_out(g(m0)), self.to_out(g(m1))
+        x0 = x0 + self.ffn(torch.cat([x0, m0], -1))
+        x1 = x1 + self.ffn(torch.cat([x1, m1], -1))
+        return x0, x1
+
+
+class TorchTransformerLayer(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.self_attn = TorchSelfBlock(dim, heads)
+        self.cross_attn = TorchCrossBlock(dim, heads)
+
+    def forward(self, d0, d1, e0, e1):
+        d0 = self.self_attn(d0, e0)
+        d1 = self.self_attn(d1, e1)
+        return self.cross_attn(d0, d1)
+
+
+class TorchMatchAssignment(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.matchability = nn.Linear(dim, 1)
+        self.final_proj = nn.Linear(dim, dim)
+
+    def forward(self, d0, d1):
+        md0, md1 = self.final_proj(d0), self.final_proj(d1)
+        d = md0.shape[-1]
+        md0, md1 = md0 / d ** 0.25, md1 / d ** 0.25
+        sim = torch.einsum("bmd,bnd->bmn", md0, md1)
+        z0 = self.matchability(d0)
+        z1 = self.matchability(d1)
+        b, m, n = sim.shape
+        cert = F.logsigmoid(z0) + F.logsigmoid(z1).transpose(1, 2)
+        s0 = F.log_softmax(sim, 2)
+        s1 = F.log_softmax(sim.transpose(-1, -2).contiguous(), 2).transpose(-1, -2)
+        scores = sim.new_full((b, m + 1, n + 1), 0)
+        scores[:, :m, :n] = s0 + s1 + cert
+        scores[:, :-1, -1] = F.logsigmoid(-z0.squeeze(-1))
+        scores[:, -1, :-1] = F.logsigmoid(-z1.squeeze(-1))
+        return scores
+
+
+class TorchLightGlue(nn.Module):
+    """Static-depth eval-path LightGlue with ckpt-identical parameter names."""
+
+    def __init__(self, dim=256, heads=4, n_layers=9):
+        super().__init__()
+        self.n_layers = n_layers
+        self.posenc = TorchPosEnc(2, dim // heads)
+        self.transformers = nn.ModuleList(
+            [TorchTransformerLayer(dim, heads) for _ in range(n_layers)])
+        self.log_assignment = nn.ModuleList(
+            [TorchMatchAssignment(dim) for _ in range(n_layers)])
+
+    def forward(self, kpts0, kpts1, d0, d1, size0, size1):
+        def norm_kpts(k, size):
+            shift = size / 2
+            scale = size.max(-1).values / 2
+            return (k - shift[..., None, :]) / scale[..., None, None]
+
+        e0 = self.posenc(norm_kpts(kpts0, size0))
+        e1 = self.posenc(norm_kpts(kpts1, size1))
+        for layer in self.transformers:
+            d0, d1 = layer(d0, d1, e0, e1)
+        return self.log_assignment[-1](d0, d1)
+
+
+# ---------------------------------------------------------------------------
+# LoFTR backbone ground truth (ResNet-50 trunk + FPN, ckpt-identical keys)
+# ---------------------------------------------------------------------------
+
+class TorchBottleneck(nn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + idn)
+
+
+class TorchResNet50Trunk(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+
+        def layer(cin, planes, blocks, stride):
+            mods = [TorchBottleneck(cin, planes, stride, downsample=True)]
+            for _ in range(1, blocks):
+                mods.append(TorchBottleneck(planes * 4, planes))
+            return nn.Sequential(*mods)
+
+        self.layer1 = layer(64, 64, 3, 1)
+        self.layer2 = layer(256, 128, 4, 2)
+        self.layer3 = layer(512, 256, 6, 2)
+
+    def forward(self, x):
+        x0 = F.relu(self.bn1(self.conv1(x)))
+        x1 = self.layer1(x0)
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        return x1, x2, x3
+
+
+class TorchLoFTRBackbone(nn.Module):
+    def __init__(self, bd=(64, 128, 196, 256, 512, 1024)):
+        super().__init__()
+        self.encode = TorchResNet50Trunk()
+        self.layer3_outconv = nn.Conv2d(bd[5], bd[3], 1, bias=False)
+        self.layer2_outconv = nn.Conv2d(bd[4], bd[3], 1, bias=False)
+        self.layer2_outconv2 = nn.Sequential(
+            nn.Conv2d(bd[3], bd[3], 3, 1, 1, bias=False),
+            nn.BatchNorm2d(bd[3]), nn.LeakyReLU(),
+            nn.Conv2d(bd[3], bd[2], 3, 1, 1, bias=False))
+        self.layer1_outconv = nn.Conv2d(bd[3], bd[2], 1, bias=False)
+        self.layer1_outconv2 = nn.Sequential(
+            nn.Conv2d(bd[2], bd[2], 3, 1, 1, bias=False),
+            nn.BatchNorm2d(bd[2]), nn.LeakyReLU(),
+            nn.Conv2d(bd[2], bd[1], 3, 1, 1, bias=False))
+
+    def forward(self, x):
+        x1, x2, x3 = self.encode(x)
+        x3_out = self.layer3_outconv(x3)
+        x3_2x = F.interpolate(x3_out, scale_factor=2., mode='bilinear',
+                              align_corners=True)
+        x2_out = self.layer2_outconv(x2)
+        x2_out = self.layer2_outconv2(x2_out + x3_2x)
+        x2_2x = F.interpolate(x2_out, scale_factor=2., mode='bilinear',
+                              align_corners=True)
+        x1_out = self.layer1_outconv(x1)
+        x1_out = self.layer1_outconv2(x1_out + x2_2x)
+        return x3_out, x1_out

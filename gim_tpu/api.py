@@ -66,6 +66,14 @@ class Matcher:
             }
         if self.name == "gim_loftr":
             return loftr_init(rng, self.cfg.loftr)
+        if self.name == "gim_dkm":
+            from gim_tpu.models.dkm import init_params as dkm_init
+
+            return dkm_init(rng, self.cfg.dkm)
+        if self.name == "gim_roma":
+            from gim_tpu.models.roma import init_params as roma_init
+
+            return roma_init(rng, self.cfg.roma)
         if self.name == "root_sift":
             return {}
         raise NotImplementedError(f"{self.name} weights not wired yet")
@@ -82,6 +90,16 @@ class Matcher:
                          "lightglue": port.port_lightglue(lg_sd)}
         elif name == "gim_loftr":
             variables = port.port_loftr(sd)
+        elif name == "gim_dkm":
+            variables = port.port_dkm(sd)
+        elif name == "gim_roma":
+            import os
+            dino_sd = None
+            for cand in (os.path.join(os.path.dirname(ckpt_path),
+                                      "dinov2_vitl14_pretrain.pth"),):
+                if os.path.exists(cand):
+                    dino_sd = port.load_torch_state_dict(cand)
+            variables = port.port_roma(sd, dino_sd)
         else:
             raise NotImplementedError(name)
         return cls(name, cfg, variables)
@@ -121,7 +139,82 @@ def match_fn(name: str, cfg: C.GimConfig, variables, image0, image1,
             variables, image0, image1, scale0, scale1, mask0, mask1)
         return MatchResult(out["mkpts0_f"], out["mkpts1_f"], out["mconf"],
                            out["valid"])
+    if name == "gim_dkm":
+        return _match_dkm(cfg, variables, image0, image1, scale0, scale1)
+    if name == "gim_roma":
+        return _match_roma(cfg, variables, image0, image1, scale0, scale1)
     raise NotImplementedError(name)
+
+
+def _match_roma(cfg: C.GimConfig, variables, image0, image1,
+                scale0, scale1) -> MatchResult:
+    """RoMa dense warp -> balanced sampling -> original-frame keypoints.
+    Square canvases map directly onto RoMa's square model resolution
+    (ref roma.py:1124: img_size [672]), so no extra aspect padding."""
+    from gim_tpu.models.roma.model import RoMaMatcher
+    from gim_tpu.models.dkm.model import sample_matches
+
+    c = cfg.roma
+    B, _, S, _ = image0.shape
+    warp, cert = RoMaMatcher(c).apply(variables, image0, image1)
+
+    def per_pair(w_b, c_b, key):
+        return sample_matches(key, w_b, c_b, c.num_samples, c.sample_thresh,
+                              c.sample_mode)
+
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    matches, conf, valid = jax.vmap(per_pair)(warp, cert, keys)
+
+    k0 = jnp.stack([S * (matches[..., 0] + 1) / 2,
+                    S * (matches[..., 1] + 1) / 2], axis=-1)
+    k1 = jnp.stack([S * (matches[..., 2] + 1) / 2,
+                    S * (matches[..., 3] + 1) / 2], axis=-1)
+    k0 = k0 * scale0[:, None, :]
+    k1 = k1 * scale1[:, None, :]
+    valid = valid & (conf > 0)
+    return MatchResult(k0, k1, jnp.where(valid, conf, 0.0), valid)
+
+
+def _match_dkm(cfg: C.GimConfig, variables, image0, image1,
+               scale0, scale1) -> MatchResult:
+    """Dense warp -> balanced sampling -> original-frame keypoints.
+
+    The reference eval feeds the resized rectangle directly (aspect
+    distortion, trainer/lightning.py:134-156); for static TPU shapes we
+    right/bottom-pad the square canvas to the model's w:h aspect so the
+    internal resize is uniform (the demo's aspect-pad approach,
+    ref demo.py:420-428)."""
+    from gim_tpu.models.dkm.model import DKMMatcher, sample_matches
+
+    c = cfg.dkm
+    B, _, S, _ = image0.shape
+    # pad square canvas -> model aspect (w/h), content stays top-left
+    target_w = int(round(S * c.w_resized / c.h_resized))
+    pad_w = max(target_w - S, 0)
+    im0 = jnp.pad(image0, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+    im1 = jnp.pad(image1, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+
+    warp, cert = DKMMatcher(c).apply(variables, im0, im1)
+    hs, ws2 = cert.shape[1:]
+    ws = ws2 // 2
+
+    def per_pair(w_b, c_b, key):
+        return sample_matches(key, w_b, c_b, c.num_samples, c.sample_thresh,
+                              c.sample_mode)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    matches, conf, valid = jax.vmap(per_pair)(warp, cert, keys)
+
+    canvas_w = float(S + pad_w)
+    canvas_h = float(S)
+    k0 = jnp.stack([canvas_w * (matches[..., 0] + 1) / 2,
+                    canvas_h * (matches[..., 1] + 1) / 2], axis=-1)
+    k1 = jnp.stack([canvas_w * (matches[..., 2] + 1) / 2,
+                    canvas_h * (matches[..., 3] + 1) / 2], axis=-1)
+    k0 = k0 * scale0[:, None, :]
+    k1 = k1 * scale1[:, None, :]
+    valid = valid & (conf > 0)
+    return MatchResult(k0, k1, jnp.where(valid, conf, 0.0), valid)
 
 
 def _match_lightglue(cfg: C.GimConfig, variables, image0, image1,

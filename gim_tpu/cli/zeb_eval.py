@@ -1,0 +1,152 @@
+"""ZEB benchmark evaluation CLI.
+
+Reference-compatible surface (ref test.py:64-128):
+`python -m gim_tpu.cli.zeb_eval --weight gim_loftr --version 50h --tests GL3D
+ --data_root <root> [--img_size 840] [--batch_size 1] [--max_samples N]`
+writes `dump/zeb/[T] {weight} {scene:>15} {version}.txt` and prints the
+aggregate AUC. `--synthetic` generates a small self-contained two-plane
+benchmark first (no dataset download needed) — the harness's own
+validation path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_matcher(weight: str, ckpt: str | None, img_size: int):
+    """Returns match(batch)->MatchResult."""
+    import jax
+    import jax.numpy as jnp
+
+    from gim_tpu.api import Matcher, MatchResult
+
+    if weight == "root_sift":
+        from gim_tpu.models.root_sift import (detect_rootsift, match_rootsift,
+                                              pad_to)
+
+        def match(batch):
+            B = batch["color0"].shape[0]
+            K = 6144
+            k0s, k1s, cs, vs = [], [], [], []
+            for b in range(B):
+                rgb0 = (np.transpose(batch["color0"][b], (1, 2, 0))
+                        * 255).astype(np.uint8)
+                rgb1 = (np.transpose(batch["color1"][b], (1, 2, 0))
+                        * 255).astype(np.uint8)
+                kp0, d0 = detect_rootsift(rgb0)
+                kp1, d1 = detect_rootsift(rgb1)
+                kp0p, v0 = pad_to(kp0, K)
+                d0p, _ = pad_to(d0, K)
+                kp1p, v1 = pad_to(kp1, K)
+                d1p, _ = pad_to(d1, K)
+                m, conf = match_rootsift(
+                    jnp.asarray(kp0p), jnp.asarray(d0p), jnp.asarray(v0),
+                    jnp.asarray(kp1p), jnp.asarray(d1p), jnp.asarray(v1))
+                m = np.asarray(m)
+                sel = m >= 0
+                k0 = kp0p * batch["scale0"][b][None]
+                k1 = kp1p[np.maximum(m, 0)] * batch["scale1"][b][None]
+                k0s.append(k0)
+                k1s.append(k1)
+                cs.append(np.where(sel, np.asarray(conf), 0.0))
+                vs.append(sel)
+            return MatchResult(jnp.asarray(np.stack(k0s)),
+                               jnp.asarray(np.stack(k1s)),
+                               jnp.asarray(np.stack(cs)),
+                               jnp.asarray(np.stack(vs)))
+
+        return match
+
+    if ckpt:
+        matcher = Matcher.from_checkpoint(weight, ckpt)
+    else:
+        print(f"[zeb_eval] WARNING: no --ckpt; {weight} runs with random "
+              "weights (harness validation only)")
+        matcher = Matcher(weight)
+
+    def match(batch):
+        return matcher.match(
+            jnp.asarray(batch["color0"]), jnp.asarray(batch["color1"]),
+            jnp.asarray(batch["scale0"]), jnp.asarray(batch["scale1"]),
+            jnp.asarray(batch["mask0"]) if "mask0" in batch else None,
+            jnp.asarray(batch["mask1"]) if "mask1" in batch else None)
+
+    return match
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weight", default="root_sift",
+                   choices=["gim_roma", "gim_dkm", "gim_loftr",
+                            "gim_lightglue", "root_sift"])
+    p.add_argument("--version", default="v0")
+    p.add_argument("--tests", default="GL3D")
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--img_size", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--out_dir", default="dump/zeb")
+    p.add_argument("--padding", action="store_true", default=True)
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic two-plane benchmark first")
+    args = p.parse_args(argv)
+
+    from gim_tpu.data import zeb as Z
+    from gim_tpu.eval import zeb as E
+    from gim_tpu.geometry.pose import error_auc_trapezoid
+
+    if args.synthetic:
+        import tempfile
+
+        from gim_tpu.data.synthetic import write_synthetic_benchmark
+
+        args.data_root = tempfile.mkdtemp(prefix="gim_tpu_synth_")
+        write_synthetic_benchmark(args.data_root, n_pairs=6)
+        print(f"[zeb_eval] synthetic benchmark at {args.data_root}")
+
+    spec = Z.BENCHMARKS[args.tests]
+    img_size = args.img_size or spec.img_size
+    pairs = Z.load_benchmark(args.data_root, args.tests, args.max_samples)
+    if not pairs:
+        raise SystemExit(f"no pairs found under {args.data_root}/zeb")
+    print(f"[zeb_eval] {len(pairs)} pairs, img_size {img_size}")
+
+    match = build_matcher(args.weight, args.ckpt, img_size)
+
+    def batches():
+        B = args.batch_size
+        for i in range(0, len(pairs), B):
+            chunk = pairs[i:i + B]
+            while len(chunk) < B:  # pad; dedup drops repeats
+                chunk.append(chunk[-1])
+            yield Z.batch_pairs([Z.load_pair_images(c, img_size, 8,
+                                                    args.padding)
+                                 for c in chunk])
+
+    t0 = time.time()
+    rows = E.evaluate(match, batches())
+    dt = time.time() - t0
+    rows_u = E.dedup_rows(rows)
+    print(f"[zeb_eval] {len(rows_u)} unique pairs in {dt:.1f}s "
+          f"({len(rows_u) / dt:.2f} pairs/s)")
+
+    path = E.write_dump(rows, args.out_dir, args.weight, spec.scene,
+                        args.version)
+    print(f"[zeb_eval] wrote {path}")
+
+    aucs = error_auc_trapezoid([r["R_errs"] for r in rows_u],
+                               [r["t_errs"] for r in rows_u], (5.0,))
+    prec = np.mean([np.mean(r["epi_errs"] < 5e-4) if len(r["epi_errs"])
+                    else 0.0 for r in rows_u])
+    print(f"[zeb_eval] {spec.scene}: auc@5 {aucs['auc@5.0']:.4f}  "
+          f"mean Bef.Prec {prec:.4f}")
+    return aucs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""ZEB evaluation driver.
+
+The TPU-native analog of the reference eval stack (ref test.py +
+trainer/lightning.py:243-275): per pair it computes symmetric epipolar
+errors, estimates the relative pose with the ON-CHIP batched RANSAC
+(replacing the serial per-pair cv2.findEssentialMat host loop,
+ref tools/metrics.py:125-168 — the throughput sink), and writes dump files
+byte-compatible with `dump/zeb/[T] {weight} {scene:>15} {version}.txt`
+(ref trainer/lightning.py:258-275) so the reference's check.py/analysis.py
+workflows (and our ports) read them unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gim_tpu.config import GimConfig
+from gim_tpu.geometry.epipolar import essential_from_pose, \
+    symmetric_epipolar_distance
+from gim_tpu.geometry.pose import estimate_pose, relative_pose_error
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def pair_metrics(kpts0, kpts1, valid, K0, K1, T_0to1, key,
+                 thresh: float = 0.5, num_hypotheses: int = 2048):
+    """All per-pair metrics on device. Args batched (B, ...). Returns dict
+    of (B, ...) arrays: epi_errs, R_errs, t_errs, t_errs2, inliers."""
+    E = essential_from_pose(T_0to1)
+    epi = symmetric_epipolar_distance(kpts0, kpts1, E, K0, K1)
+
+    def one(k0, k1, v, k0m, k1m, kk):
+        out = estimate_pose(k0, k1, v, k0m, k1m, kk, thresh, num_hypotheses)
+        return out
+
+    keys = jax.random.split(key, kpts0.shape[0])
+    pose = jax.vmap(one)(kpts0, kpts1, valid, K0, K1, keys)
+    t_err, r_err, t_err2 = relative_pose_error(T_0to1, pose["R"], pose["t"])
+    r_err = jnp.where(pose["success"], r_err, jnp.inf)
+    t_err = jnp.where(pose["success"], t_err, jnp.inf)
+    t_err2 = jnp.where(pose["success"], t_err2, jnp.inf)
+    return {"epi_errs": epi, "R_errs": r_err, "t_errs": t_err,
+            "t_errs2": t_err2, "inliers": pose["inliers"] & valid}
+
+
+def format_rows(metrics_rows: list[dict], epi_err_thr: float = 5e-4) -> str:
+    """Dump-file text (ref trainer/lightning.py:258-271 format)."""
+    out = ("identifiers covisible0 covisible1 R_errs t_errs t_errs2 "
+           "Bef.Prec Bef.Num Aft.Prec Aft.Num\n")
+    mean = lambda x: sum(x) / max(len(x), 1)
+    for r in metrics_rows:
+        epi = r["epi_errs"]
+        inl = r["inliers"]
+        bef = epi < epi_err_thr
+        aft = epi[inl] < epi_err_thr
+        out += (f'{r["identifier"]} {r["covisible0"]} {r["covisible1"]} '
+                f'{r["R_errs"]} {r["t_errs"]} {r["t_errs2"]} ')
+        out += f"{mean(bef)} {sum(bef)} {mean(aft)} {sum(aft)}\n"
+    return out
+
+
+def dump_path(out_dir: str, weight: str, scene: str, version: str) -> str:
+    return join(out_dir, f"[T] {weight} {scene:>15} {version}.txt")
+
+
+def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
+             num_hypotheses: int = 2048, progress: bool = True):
+    """Run `match(batch) -> MatchResult` over an iterable of batches and
+    collect per-pair metric rows (host dicts).
+
+    `batches` yield dicts from gim_tpu.data.zeb.batch_pairs. Matching and
+    metric/pose computation run fully on device; only final scalars and
+    the per-match epi/inlier vectors cross to host per batch.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    rows = []
+    for bi, batch in enumerate(batches):
+        res = match(batch)
+        key, sub = jax.random.split(key)
+        m = pair_metrics(res.kpts0, res.kpts1, res.valid,
+                         jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]),
+                         jnp.asarray(batch["T_0to1"]), sub,
+                         ransac_thresh, num_hypotheses)
+        m = jax.device_get(m)
+        valid = np.asarray(res.valid)
+        B = valid.shape[0]
+        for b in range(B):
+            v = valid[b]
+            rows.append({
+                "identifier": batch["identifier"][b],
+                "covisible0": batch["covisible0"][b],
+                "covisible1": batch["covisible1"][b],
+                "epi_errs": m["epi_errs"][b][v],
+                "inliers": m["inliers"][b][v],
+                "R_errs": float(m["R_errs"][b]),
+                "t_errs": float(m["t_errs"][b]),
+                "t_errs2": float(m["t_errs2"][b]),
+            })
+        if progress:
+            print(f"[zeb] batch {bi + 1}: {len(rows)} pairs", flush=True)
+    return rows
+
+
+def dedup_rows(rows: list[dict]) -> list[dict]:
+    """Dedup by identifier then sort (ref trainer/lightning.py:253-255)."""
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["identifier"], r)
+    return [seen[k] for k in sorted(seen)]
+
+
+def write_dump(rows: list[dict], out_dir: str, weight: str, scene: str,
+               version: str, epi_err_thr: float = 5e-4) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = dump_path(out_dir, weight, scene, version)
+    with open(path, "w") as f:
+        f.write(format_rows(dedup_rows(rows), epi_err_thr))
+    return path

@@ -1,0 +1,274 @@
+"""DKM building blocks, NHWC/TPU-native.
+
+Parity targets in ref networks/dkm/models/dkm.py:
+- ConvRefiner (:11-123) depthwise conv stacks + displacement embedding,
+- CosKernel (:126-144), CAB (:147-170), RRB (:173-202), DFN (:205-254),
+- GP (:257-370) cosine-kernel Gaussian process regression with fourier
+  position basis — the K_yy^-1 is a batched symmetric solve (Cholesky via
+  jnp.linalg.solve at fp32, SURVEY §7 hard part (c)) instead of
+  torch.linalg.inv,
+- local_correlation (ref networks/dkm/utils/local_correlation.py:5-41)
+  computed in K^2 chunks so the (B, H, W, K^2, C) window tensor is never
+  materialized at once,
+- kde (ref networks/dkm/utils/kde.py:17-24).
+
+Flow convention matches the reference: normalized [-1, 1] xy coords of the
+match target, stored NHWC as (B, H, W, 2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gim_tpu.ops.sampling import grid_sample
+from gim_tpu.utils import highp
+
+
+def coords_grid(b: int, h: int, w: int) -> jax.Array:
+    """(b, h, w, 2) normalized pixel-center xy grid (torch linspace
+    convention -1+1/h .. 1-1/h)."""
+    ys = jnp.linspace(-1 + 1 / h, 1 - 1 / h, h)
+    xs = jnp.linspace(-1 + 1 / w, 1 - 1 / w, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    g = jnp.stack([gx, gy], axis=-1)
+    return jnp.broadcast_to(g[None], (b, h, w, 2))
+
+
+def resize_nhwc(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Bilinear resize, half-pixel centers (torch align_corners=False)."""
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+
+
+def sample_nhwc(img: jax.Array, coords: jax.Array,
+                padding_mode: str = "zeros") -> jax.Array:
+    """grid_sample NHWC: img (B, H, W, C), coords (B, ..., 2) in [-1, 1]
+    -> (B, ..., C). align_corners=False (reference convention)."""
+    B, H, W, C = img.shape
+    lead = coords.shape[1:-1]
+    pts = coords.reshape(B, -1, 2)
+    chw = jnp.transpose(img, (0, 3, 1, 2))
+    out = grid_sample(chw, pts, align_corners=False,
+                      padding_mode=padding_mode)      # (B, C, P)
+    return jnp.transpose(out, (0, 2, 1)).reshape(B, *lead, C)
+
+
+def local_correlation(x: jax.Array, y: jax.Array, radius: int,
+                      flow: jax.Array | None = None,
+                      chunk: int = 25) -> jax.Array:
+    """(2r+1)^2 window correlation (ref local_correlation.py:5-41).
+
+    x, y: (B, H, W, C); flow: (B, H, W, 2) normalized sample centers in y
+    (identity grid if None). Returns (B, H, W, (2r+1)^2) in the reference's
+    (dy-major) window order. Computed in chunks of window offsets to bound
+    the transient gather to (B, H, W, chunk, C).
+    """
+    B, H, W, C = x.shape
+    r = radius
+    K = 2 * r + 1
+    if flow is None:
+        flow = coords_grid(B, H, W)
+    wy = jnp.linspace(-2 * r / H, 2 * r / H, K)
+    wx = jnp.linspace(-2 * r / W, 2 * r / W, K)
+    gy, gx = jnp.meshgrid(wy, wx, indexing="ij")
+    offsets = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (K2, 2)
+
+    K2 = K * K
+    outs = []
+    scale = 1.0 / math.sqrt(C)
+    for s in range(0, K2, chunk):
+        off = offsets[s:s + chunk]                       # (k, 2)
+        pts = flow[:, :, :, None, :] + off[None, None, None]
+        feats = sample_nhwc(y, pts)                      # (B, H, W, k, C)
+        outs.append(jnp.einsum("bhwc,bhwkc->bhwk", x, feats) * scale)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def kde_density(x: jax.Array, std: float = 0.1, chunk: int = 4096) -> jax.Array:
+    """Gaussian KDE over row vectors (ref utils/kde.py:17-24). x: (N, D)."""
+    n = x.shape[0]
+    inv = 1.0 / (2 * std * std)
+    sq = jnp.sum(x * x, axis=-1)
+
+    def block(i):
+        xs = jax.lax.dynamic_slice_in_dim(x, i, chunk, 0)
+        ss = jax.lax.dynamic_slice_in_dim(sq, i, chunk, 0)
+        d2 = ss[:, None] + sq[None, :] - 2.0 * (xs @ x.T)
+        return jnp.exp(-jnp.maximum(d2, 0.0) * inv).sum(-1)
+
+    nblocks = -(-n // chunk)
+    pads = nblocks * chunk - n
+    xp = jnp.pad(x, ((0, pads), (0, 0)))
+    sqp = jnp.pad(sq, (0, pads))
+
+    def blockp(i):
+        xs = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, 0)
+        ss = jax.lax.dynamic_slice_in_dim(sqp, i * chunk, chunk, 0)
+        d2 = ss[:, None] + sq[None, :] - 2.0 * (xs @ x.T)
+        return jnp.exp(-jnp.maximum(d2, 0.0) * inv).sum(-1)
+
+    out = jax.lax.map(blockp, jnp.arange(nblocks)).reshape(-1)
+    return out[:n]
+
+
+class CosKernel:
+    """exp((cos_sim - 1) / T) (ref dkm.py:126-144, learn_temperature off)."""
+
+    def __init__(self, T: float = 0.2):
+        self.T = T
+
+    @highp
+    def __call__(self, x, y, eps=1e-6):
+        c = jnp.einsum("bnd,bmd->bnm", x, y) / (
+            jnp.linalg.norm(x, axis=-1)[..., None]
+            * jnp.linalg.norm(y, axis=-1)[:, None] + eps)
+        return jnp.exp((c - 1.0) / self.T)
+
+
+class GP(nn.Module):
+    """Cosine-kernel GP regression of fourier position embeddings
+    (ref dkm.py:257-370, no_cov=True, basis='fourier')."""
+
+    gp_dim: int = 256
+    T: float = 0.2
+    sigma_noise: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """x, y: (B, H, W, C) projected features. Returns (B, H, W, gp_dim)."""
+        B, H, W, C = y.shape
+        pos_conv = nn.Conv(self.gp_dim, (1, 1), name="pos_conv")
+        coords = coords_grid(B, H, W)
+        f = jnp.cos(8 * math.pi * pos_conv(coords))      # fourier basis
+
+        K = CosKernel(self.T)
+        xf = x.reshape(B, -1, C)
+        yf = y.reshape(B, -1, C)
+        ff = f.reshape(B, -1, self.gp_dim)
+        K_xy = K(xf, yf)
+        K_yy = K(yf, yf)
+        n = K_yy.shape[-1]
+        A = K_yy + self.sigma_noise * jnp.eye(n)[None]
+        with jax.default_matmul_precision("highest"):
+            K_yy_inv_f = jnp.linalg.solve(A, ff)
+            mu = K_xy @ K_yy_inv_f                        # (B, HW, gp_dim)
+        return mu.reshape(B, x.shape[1], x.shape[2], self.gp_dim)
+
+
+class RRB(nn.Module):
+    """Refinement residual block (ref dkm.py:173-202)."""
+
+    out_dim: int
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_dim, (1, 1), name="conv1")(x)
+        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", name="conv2")(x)
+        res = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                           epsilon=1e-5, name="bn")(res)
+        res = nn.relu(res)
+        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", name="conv3")(res)
+        return nn.relu(x + res)
+
+
+class CAB(nn.Module):
+    """Channel attention block over [high, low] pair (ref dkm.py:147-170)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        x = jnp.concatenate([x1, x2], axis=-1)
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.out_dim, (1, 1), name="conv1")(g)
+        g = nn.relu(g)
+        g = nn.Conv(self.out_dim, (1, 1), name="conv2")(g)
+        g = jax.nn.sigmoid(g)
+        return g * x2 + x1
+
+
+class DFNScale(nn.Module):
+    """One scale of the DFN embedding decoder (ref dkm.py:205-254 +
+    DKMv3.py:9-47 wiring): feat 1x1 proj -> concat(gp) -> RRB_d ->
+    CAB(context) -> RRB_u -> 3ch terminal (1 certainty + 2 coord)."""
+
+    feat_dim: int = 256
+    internal_dim: int = 384
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, embeddings, feats, context):
+        feats = nn.Conv(self.feat_dim, (1, 1), name="feat_input")(feats)
+        emb = jnp.concatenate([feats, embeddings], axis=-1)
+        emb = RRB(self.internal_dim, self.train, name="rrb_d")(emb)
+        context = CAB(self.internal_dim, name="cab")(context, emb)
+        context = RRB(self.internal_dim, self.train, name="rrb_u")(context)
+        preds = nn.Conv(3, (1, 1), name="terminal")(context)
+        pred_coord = preds[..., -2:]
+        pred_certainty = preds[..., :-2]
+        return pred_coord, pred_certainty, context
+
+
+class ConvRefiner(nn.Module):
+    """Depthwise conv refiner (ref dkm.py:11-123; RoMa variant
+    ref roma.py:436-580 adds emb scaling 40/32*scale_factor, optional
+    logits concat, and puts displacement before certainty in out_conv)."""
+
+    in_dim: int
+    hidden_dim: int
+    dw: bool = True
+    kernel_size: int = 5
+    hidden_blocks: int = 8
+    displacement_emb_dim: int = 0
+    local_corr_radius: int | None = None
+    corr_in_other: bool = True
+    train: bool = False
+    disp_first: bool = False     # RoMa: out = [dx, dy, cert]; DKM: [cert, dx, dy]
+    concat_logits: bool = False
+
+    def block(self, x, out_dim, name):
+        groups = x.shape[-1] if self.dw else 1
+        k = self.kernel_size
+        x = nn.Conv(out_dim, (k, k), padding="SAME",
+                    feature_group_count=groups, name=f"{name}_conv1")(x)
+        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                         epsilon=1e-5, name=f"{name}_bn")(x)
+        x = nn.relu(x)
+        return nn.Conv(out_dim, (1, 1), name=f"{name}_conv2")(x)
+
+    @nn.compact
+    def __call__(self, x, y, flow, logits=None, emb_scale: float = 1.0):
+        """x, y: (B, H, W, C); flow: (B, H, W, 2). emb_scale: RoMa passes
+        40/32 * scale_factor (ref roma.py:548-550). Returns (certainty
+        (B,H,W,1), displacement (B,H,W,2))."""
+        B, H, W, C = x.shape
+        x_hat = jax.lax.stop_gradient(sample_nhwc(y, flow))
+        parts = [x, x_hat]
+        if self.displacement_emb_dim:
+            disp = flow - coords_grid(B, H, W)
+            emb = nn.Conv(self.displacement_emb_dim, (1, 1),
+                          name="disp_emb")(emb_scale * disp)
+            parts = [x, x_hat, emb]
+            if self.local_corr_radius:
+                if self.corr_in_other:
+                    corr = local_correlation(x, y, self.local_corr_radius,
+                                             flow=flow)
+                else:
+                    corr = local_correlation(x, x_hat,
+                                             self.local_corr_radius)
+                parts = [x, x_hat, emb, corr]
+        if self.concat_logits:
+            parts.append(logits)
+        d = jnp.concatenate(parts, axis=-1)
+        d = self.block(d, self.hidden_dim, "block1")
+        for i in range(self.hidden_blocks):
+            d = self.block(d, self.hidden_dim, f"hidden_{i}")
+        d = nn.Conv(3, (1, 1), name="out_conv")(d)
+        if self.disp_first:
+            return d[..., -1:], d[..., :-1]
+        return d[..., :-2], d[..., -2:]

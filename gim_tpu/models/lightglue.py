@@ -219,4 +219,5 @@ def init_params(rng: jax.Array, cfg: LightGlueConfig, k: int = 64) -> Any:
     z2 = jnp.zeros((1, k, 2))
     zd = jnp.zeros((1, k, cfg.input_dim))
     s = jnp.ones((1, 2)) * 64
-    return model.init(rng, z2, z2, zd, zd, s, s)
+    # jit: eager init dispatches every op separately (minutes on a tunneled TPU)
+    return jax.jit(model.init)(rng, z2, z2, zd, zd, s, s)

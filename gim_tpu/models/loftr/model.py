@@ -166,4 +166,5 @@ def init_params(rng: jax.Array, cfg: LoFTRConfig,
                 input_hw=(64, 64)) -> Any:
     model = LoFTRMatcher(cfg)
     z = jnp.zeros((1, 3, *input_hw))
-    return model.init(rng, z, z)
+    # jit: eager init dispatches every op separately (minutes on a tunneled TPU)
+    return jax.jit(model.init)(rng, z, z)

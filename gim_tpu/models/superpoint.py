@@ -67,7 +67,8 @@ class SuperPointNet(nn.Module):
 def init_params(rng: jax.Array, cfg: SuperPointConfig,
                 input_hw=(64, 64)) -> Any:
     net = SuperPointNet(descriptor_dim=cfg.descriptor_dim)
-    return net.init(rng, jnp.zeros((1, *input_hw, 1)))
+    # jit: eager init dispatches every op separately (minutes on a tunneled TPU)
+    return jax.jit(net.init)(rng, jnp.zeros((1, *input_hw, 1)))
 
 
 def extract(params: Any, image: jax.Array, cfg: SuperPointConfig,

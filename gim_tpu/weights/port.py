@@ -212,3 +212,142 @@ def port_loftr(sd: dict, n_pairs_coarse: int = 4,
     m.drop("coarse_matching.", "fine_matching.", "pos_encoding.")
     assert not m.sd, f"unmapped loftr keys: {list(m.sd)[:8]}"
     return {"params": m.tree, "batch_stats": m.stats}
+
+
+# ---------------------------------------------------------------------------
+# gim_dkm
+# ---------------------------------------------------------------------------
+
+def _port_torchvision_resnet50(m: "Mapper", tprefix: str, fprefix: str):
+    """torchvision resnet50 keys -> gim_tpu.models.dkm.encoder paths."""
+    m.conv(f"{tprefix}.conv1", f"{fprefix}/conv1", bias=False)
+    m.batchnorm(f"{tprefix}.bn1", f"{fprefix}/bn1")
+    for li, blocks in (("1", 3), ("2", 4), ("3", 6), ("4", 3)):
+        for b in range(blocks):
+            t = f"{tprefix}.layer{li}.{b}"
+            f = f"{fprefix}/layer{li}_{b}"
+            for cc in ("1", "2", "3"):
+                m.conv(f"{t}.conv{cc}", f"{f}/conv{cc}", bias=False)
+                m.batchnorm(f"{t}.bn{cc}", f"{f}/bn{cc}")
+            if f"{t}.downsample.0.weight" in m.sd:
+                m.conv(f"{t}.downsample.0", f"{f}/down_conv", bias=False)
+                m.batchnorm(f"{t}.downsample.1", f"{f}/down_bn")
+
+
+def _port_conv_refiner(m: "Mapper", tprefix: str, fprefix: str,
+                       hidden_blocks: int = 8, has_corr: bool = True):
+    """ConvRefiner Sequential blocks (conv=0, bn=1, conv2=3)
+    (ref dkm.py:50-73)."""
+    m.conv(f"{tprefix}.block1.0", f"{fprefix}/block1_conv1")
+    m.batchnorm(f"{tprefix}.block1.1", f"{fprefix}/block1_bn")
+    m.conv(f"{tprefix}.block1.3", f"{fprefix}/block1_conv2")
+    for i in range(hidden_blocks):
+        m.conv(f"{tprefix}.hidden_blocks.{i}.0", f"{fprefix}/hidden_{i}_conv1")
+        m.batchnorm(f"{tprefix}.hidden_blocks.{i}.1", f"{fprefix}/hidden_{i}_bn")
+        m.conv(f"{tprefix}.hidden_blocks.{i}.3", f"{fprefix}/hidden_{i}_conv2")
+    m.conv(f"{tprefix}.out_conv", f"{fprefix}/out_conv")
+    m.conv(f"{tprefix}.disp_emb", f"{fprefix}/disp_emb")
+
+
+def port_dkm(sd: dict) -> dict:
+    """gim_dkm torch state dict -> flax variables for DKMMatcher.
+
+    Remap conventions per ref demo.py:355-363: strip 'model.', drop
+    'encoder.net.fc'."""
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items() if "encoder.net.fc" not in k}
+    m = Mapper(sd)
+    _port_torchvision_resnet50(m, "encoder.net", "encoder")
+    for s in ("32", "16"):
+        m.conv(f"decoder.proj.{s}", f"decoder/proj_{s}")
+        m.conv(f"decoder.gps.{s}.pos_conv", f"decoder/gp_{s}/pos_conv")
+        d = f"decoder.embedding_decoder"
+        f = f"decoder/dfn_{s}"
+        m.conv(f"{d}.feat_input_modules.{s}", f"{f}/feat_input")
+        for rrb in ("rrb_d", "rrb_u"):
+            # DFN stores the dicts as self.rrb_d / self.rrb_u (dkm.py:229-231)
+            m.conv(f"{d}.{rrb}.{s}.conv1", f"{f}/{rrb}/conv1")
+            m.conv(f"{d}.{rrb}.{s}.conv2", f"{f}/{rrb}/conv2")
+            m.batchnorm(f"{d}.{rrb}.{s}.bn", f"{f}/{rrb}/bn")
+            m.conv(f"{d}.{rrb}.{s}.conv3", f"{f}/{rrb}/conv3")
+        m.conv(f"{d}.cab.{s}.conv1", f"{f}/cab/conv1")
+        m.conv(f"{d}.cab.{s}.conv2", f"{f}/cab/conv2")
+        m.conv(f"{d}.terminal_module.{s}", f"{f}/terminal")
+    for s, hb in (("16", 8), ("8", 8), ("4", 8), ("2", 8), ("1", 8)):
+        _port_conv_refiner(m, f"decoder.conv_refiner.{s}",
+                           f"decoder/refiner_{s}", hb)
+    assert not m.sd, f"unmapped dkm keys: {list(m.sd)[:8]}"
+    return {"params": m.tree, "batch_stats": m.stats}
+
+
+# ---------------------------------------------------------------------------
+# gim_roma + DINOv2
+# ---------------------------------------------------------------------------
+
+def _port_vit_block(m: "Mapper", t: str, f: str, layerscale: bool):
+    m.layernorm(f"{t}.norm1", f"{f}/norm1")
+    m.dense(f"{t}.attn.qkv", f"{f}/attn/qkv")
+    m.dense(f"{t}.attn.proj", f"{f}/attn/proj")
+    if layerscale:
+        m.raw(f"{t}.ls1.gamma", f"{f}/ls1/gamma")
+    m.layernorm(f"{t}.norm2", f"{f}/norm2")
+    m.dense(f"{t}.mlp.fc1", f"{f}/mlp/fc1")
+    m.dense(f"{t}.mlp.fc2", f"{f}/mlp/fc2")
+    if layerscale:
+        m.raw(f"{t}.ls2.gamma", f"{f}/ls2/gamma")
+
+
+def port_dinov2(sd: dict, depth: int = 24) -> dict:
+    """dinov2_vitl14_pretrain.pth -> flax params for models.dinov2.DinoViT.
+    (The gim_roma ckpt does NOT contain these — the reference hides the ViT
+    from DDP in a plain list, ref roma.py:612, and loads it from torch.hub.)"""
+    m = Mapper(sd)
+    m.raw("cls_token", "cls_token")
+    m.raw("pos_embed", "pos_embed")
+    m.conv("patch_embed.proj", "patch_embed")
+    for i in range(depth):
+        _port_vit_block(m, f"blocks.{i}", f"block_{i}", layerscale=True)
+    m.layernorm("norm", "norm")
+    m.drop("mask_token")
+    assert not m.sd, f"unmapped dinov2 keys: {list(m.sd)[:8]}"
+    return {"params": m.tree}
+
+
+# torchvision vgg19_bn conv layer indices within features[:40]
+_VGG19_CONV_IDX = [0, 3, 7, 10, 14, 17, 20, 23, 27, 30, 33, 36]
+
+
+def port_roma(sd: dict, dinov2_sd: dict | None = None,
+              n_decoder_blocks: int = 5) -> dict:
+    """gim_roma torch state dict -> flax variables for RoMaMatcher.
+    `dinov2_sd`: the separate DINOv2 hub checkpoint (required for a working
+    matcher; without it the ViT keeps init weights)."""
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+    m = Mapper(sd)
+    # VGG19-bn fine encoder
+    for j, idx in enumerate(_VGG19_CONV_IDX):
+        m.conv(f"encoder.cnn.layers.{idx}", f"vgg/conv_{j}")
+        m.batchnorm(f"encoder.cnn.layers.{idx + 1}", f"vgg/bn_{j}")
+    # transformer match decoder
+    for i in range(n_decoder_blocks):
+        _port_vit_block(m, f"decoder.embedding_decoder.blocks.{i}",
+                        f"decoder/coordinate_decoder/block_{i}",
+                        layerscale=False)
+    m.dense("decoder.embedding_decoder.to_out",
+            "decoder/coordinate_decoder/to_out")
+    # GP + projections + refiners
+    m.conv("decoder.gps.16.pos_conv", "decoder/gp_16/pos_conv")
+    for s in ("16", "8", "4", "2", "1"):
+        m.conv(f"decoder.proj.{s}.0", f"decoder/proj_{s}_conv")
+        m.batchnorm(f"decoder.proj.{s}.1", f"decoder/proj_{s}_bn")
+        _port_conv_refiner(m, f"decoder.conv_refiner.{s}",
+                           f"decoder/refiner_{s}", 8)
+    assert not m.sd, f"unmapped roma keys: {list(m.sd)[:8]}"
+    out = {"params": {"decoder": m.tree.pop("decoder"),
+                      "vgg": m.tree.pop("vgg")},
+           "batch_stats": m.stats}
+    if dinov2_sd is not None:
+        dino = port_dinov2(dinov2_sd)
+        out["params"]["dino"] = dino["params"]
+    return out

@@ -1,0 +1,107 @@
+"""gim_dkm block and pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from gim_tpu.config import DKMConfig
+from gim_tpu.models.dkm import blocks as B
+from gim_tpu.models.dkm import model as M
+
+HIGH = jax.default_matmul_precision("highest")
+
+
+def _torch_local_correlation(feature0, feature1, local_radius, flow=None):
+    # reference math (networks/dkm/utils/local_correlation.py:5-41)
+    b, c, h, w = feature0.size()
+    if flow is None:
+        coords = torch.meshgrid(
+            (torch.linspace(-1 + 1 / h, 1 - 1 / h, h),
+             torch.linspace(-1 + 1 / w, 1 - 1 / w, w)), indexing="ij")
+        coords = torch.stack((coords[1], coords[0]), dim=-1)[None].expand(
+            b, h, w, 2)
+    else:
+        coords = flow.permute(0, 2, 3, 1)
+    r = local_radius
+    win = torch.meshgrid(
+        (torch.linspace(-2 * r / h, 2 * r / h, 2 * r + 1),
+         torch.linspace(-2 * r / w, 2 * r / w, 2 * r + 1)), indexing="ij")
+    win = torch.stack((win[1], win[0]), dim=-1)[None].expand(
+        b, 2 * r + 1, 2 * r + 1, 2).reshape(b, (2 * r + 1) ** 2, 2)
+    coords = (coords[:, :, :, None] + win[:, None, None]).reshape(
+        b, h, w * (2 * r + 1) ** 2, 2)
+    wf = F.grid_sample(feature1, coords, padding_mode="zeros",
+                       align_corners=False)[..., None].reshape(
+        b, c, h, w, (2 * r + 1) ** 2)
+    return torch.einsum("bchw, bchwk -> bkhw", feature0, wf) / (c ** 0.5)
+
+
+def test_local_correlation_matches_reference():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 6, 7)).astype(np.float32)  # NCHW
+    y = rng.standard_normal((2, 8, 6, 7)).astype(np.float32)
+    flow = (rng.random((2, 2, 6, 7)).astype(np.float32) * 1.6 - 0.8)
+    ref = _torch_local_correlation(torch.from_numpy(x), torch.from_numpy(y),
+                                   2, torch.from_numpy(flow)).numpy()
+    with HIGH:
+        ours = B.local_correlation(
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+            jnp.transpose(jnp.asarray(y), (0, 2, 3, 1)), 2,
+            flow=jnp.transpose(jnp.asarray(flow), (0, 2, 3, 1)), chunk=7)
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_coords_grid_matches_torch_convention():
+    g = np.asarray(B.coords_grid(1, 4, 6))[0]
+    ys = np.linspace(-1 + 1 / 4, 1 - 1 / 4, 4)
+    xs = np.linspace(-1 + 1 / 6, 1 - 1 / 6, 6)
+    np.testing.assert_allclose(g[:, 0, 0], ys, atol=1e-6)
+    np.testing.assert_allclose(g[0, :, 0], xs, atol=1e-6)
+
+
+def test_gp_regression_recovers_position_code():
+    """With x == y, GP posterior mean must approximately reproduce the
+    position embedding f (K_xy K_yy^-1 f ~ f for sigma -> 0)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 5, 6, 16))
+    gp = B.GP(gp_dim=8, sigma_noise=1e-4)
+    with HIGH:
+        variables = gp.init(rng, x, x)
+        mu = gp.apply(variables, x, x)
+        # recompute the basis f directly
+        import math
+        pos = B.coords_grid(1, 5, 6)
+        kernel = variables["params"]["pos_conv"]["kernel"]
+        bias = variables["params"]["pos_conv"]["bias"]
+        f = jnp.cos(8 * math.pi * (pos @ kernel[0, 0] + bias))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(f), atol=1e-2)
+
+
+def test_kde_density_matches_torch_cdist():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((50, 4)).astype(np.float32)
+    with HIGH:
+        ours = np.asarray(B.kde_density(jnp.asarray(x), std=0.1, chunk=16))
+    xt = torch.from_numpy(x)
+    ref = (-torch.cdist(xt, xt) ** 2 / (2 * 0.1 ** 2)).exp().sum(-1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_dkm_forward_shapes_tiny():
+    cfg = DKMConfig(h_resized=48, w_resized=64, upsample_res=(96, 128),
+                    num_samples=64)
+    rng = jax.random.PRNGKey(0)
+    variables = M.init_params(rng, cfg, input_hw=(48, 64))
+    img = jax.random.uniform(rng, (1, 3, 48, 64))
+    with HIGH:
+        warp, cert = M.DKMMatcher(cfg).apply(variables, img, img)
+    assert warp.shape == (1, 96, 256, 4)
+    assert cert.shape == (1, 96, 256)
+    assert np.isfinite(np.asarray(warp)).all()
+    assert np.isfinite(np.asarray(cert)).all()
+    m, conf, valid = M.sample_matches(jax.random.PRNGKey(1), warp[0], cert[0],
+                                      num=64)
+    assert m.shape == (64, 4) and conf.shape == (64,)

@@ -48,12 +48,17 @@ def main():
 
     # warmup / compile
     out = fn(variables, img0, img1, scale, scale)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out.conf))  # full host round-trip
 
+    # timed: chain a data dependency through every iteration so async
+    # dispatch (and tunnel-side buffering) cannot hide execution time,
+    # and end with a host fetch.
     t0 = time.perf_counter()
+    carry = jnp.float32(0)
     for _ in range(ITERS):
-        out = fn(variables, img0, img1, scale, scale)
-    jax.block_until_ready(out)
+        out = fn(variables, img0 + carry * 1e-9, img1, scale, scale)
+        carry = jnp.sum(out.conf)
+    _ = float(carry)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

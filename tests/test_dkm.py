@@ -55,10 +55,10 @@ def test_local_correlation_matches_reference():
 
 
 def test_coords_grid_matches_torch_convention():
-    g = np.asarray(B.coords_grid(1, 4, 6))[0]
+    g = np.asarray(B.coords_grid(1, 4, 6))[0]   # (h, w, 2) xy
     ys = np.linspace(-1 + 1 / 4, 1 - 1 / 4, 4)
     xs = np.linspace(-1 + 1 / 6, 1 - 1 / 6, 6)
-    np.testing.assert_allclose(g[:, 0, 0], ys, atol=1e-6)
+    np.testing.assert_allclose(g[:, 0, 1], ys, atol=1e-6)
     np.testing.assert_allclose(g[0, :, 0], xs, atol=1e-6)
 
 

@@ -16,8 +16,8 @@ os.environ.setdefault("GIM_TPU_COMPILE_CACHE", "/tmp/gim_tpu_compile_cache")
 
 A100_PYTORCH_PAIRS_PER_SEC = 5.0
 IMG = 832  # 840 rounded to /64 for clean MXU tiling; same token regime
-BATCH = 1
-ITERS = 8
+BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH", "2"))
+ITERS = int(os.environ.get("GIM_TPU_BENCH_ITERS", "16"))
 
 
 def main():
@@ -35,7 +35,8 @@ def main():
     from gim_tpu.config import GimConfig, LoFTRConfig
     from gim_tpu.models.loftr import init_params
 
-    cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048))
+    cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
+                                      fused_matching=True))
     variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))
 
     fn = jax.jit(lambda v, a, b, s0, s1: match_fn("gim_loftr", cfg, v, a, b,

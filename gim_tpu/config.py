@@ -62,6 +62,10 @@ class LoFTRConfig:
     fine_window_size: int = 5
     fine_concat_coarse_feat: bool = True
     # training (networks/loftr/config.py:49-68 + configs/outdoor)
+    # TPU execution options
+    dtype: str = "float32"        # model compute dtype ("bfloat16" for speed)
+    fused_matching: bool = False  # Pallas dual-softmax kernel (eval path)
+    # training (networks/loftr/config.py:49-68 + configs/outdoor)
     train_coarse_percent: float = 0.3
     train_pad_num_gt_min: int = 200
     focal_alpha: float = 0.25

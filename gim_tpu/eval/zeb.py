@@ -106,6 +106,33 @@ def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
     return rows
 
 
+def gather_rows_multihost(rows: list[dict]) -> list[dict]:
+    """Cross-host metric gather for pod eval — fixed-size pickled-bytes
+    allgather via multihost_utils, the replacement for the reference's
+    Gloo object all_gather (ref tools/comm.py:95-176). No-op single-host."""
+    import jax
+
+    if jax.process_count() == 1:
+        return rows
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(rows), dtype=np.uint8)
+    n = jnp.asarray([blob.size])
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    cap = int(sizes.max())
+    padded = np.zeros(cap, np.uint8)
+    padded[:blob.size] = blob
+    all_blobs = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(padded)))
+    out = []
+    for b, sz in zip(all_blobs.reshape(jax.process_count(), cap), sizes):
+        out.extend(pickle.loads(b[:int(sz)].tobytes()))
+    return out
+
+
 def dedup_rows(rows: list[dict]) -> list[dict]:
     """Dedup by identifier then sort (ref trainer/lightning.py:253-255)."""
     seen = {}

@@ -26,27 +26,32 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     train: bool = False
     axis_name: str | None = None
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         bn = lambda name: nn.BatchNorm(use_running_average=not self.train,
                                        momentum=0.9, epsilon=1e-5,
-                                       axis_name=self.axis_name, name=name)
+                                       axis_name=self.axis_name, dtype=dt,
+                                       name=name)
         width = self.planes
-        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=dt,
+                      name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         # explicit ((1,1),(1,1)): torch pads symmetrically for stride-2 3x3,
         # flax "SAME" would pad (0,1) and shift the grid
         out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
                       name="conv2")(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(width * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(width * 4, (1, 1), use_bias=False, dtype=dt,
+                      name="conv3")(out)
         out = bn("bn3")(out)
         if self.downsample:
             idn = nn.Conv(width * 4, (1, 1),
                           strides=(self.stride, self.stride),
-                          use_bias=False, name="down_conv")(x)
+                          use_bias=False, dtype=dt, name="down_conv")(x)
             idn = bn("down_bn")(idn)
         else:
             idn = x
@@ -58,21 +63,24 @@ class ResNet50Trunk(nn.Module):
 
     train: bool = False
     axis_name: str | None = None
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         bn = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
-                          epsilon=1e-5, axis_name=self.axis_name, name="bn1")
+                          epsilon=1e-5, axis_name=self.axis_name,
+                          dtype=self.dtype, name="bn1")
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x0 = nn.relu(bn(x))
 
         def layer(x, planes, blocks, stride, name):
             x = Bottleneck(planes, stride, downsample=True, train=self.train,
-                           axis_name=self.axis_name, name=f"{name}_0")(x)
+                           axis_name=self.axis_name, dtype=self.dtype,
+                           name=f"{name}_0")(x)
             for i in range(1, blocks):
                 x = Bottleneck(planes, 1, train=self.train,
-                               axis_name=self.axis_name,
+                               axis_name=self.axis_name, dtype=self.dtype,
                                name=f"{name}_{i}")(x)
             return x
 
@@ -82,23 +90,33 @@ class ResNet50Trunk(nn.Module):
         return x1, x2, x3
 
 
+import numpy as np
+
+
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align_corners=True linear-interpolation operator."""
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (pos - lo).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), lo] += 1.0 - w
+    M[np.arange(n_out), hi] += w
+    return M
+
+
 def _upsample2x_align_corners(x):
-    """Bilinear 2x with align_corners=True (torch F.interpolate parity;
-    jax.image.resize only offers the half-pixel convention)."""
+    """Bilinear 2x with align_corners=True (torch F.interpolate parity).
+
+    Implemented as two small dense matmuls (interpolation operators along
+    H then W) — index-gather versions lower to scalar dynamic-slices on
+    TPU and are catastrophically slow; matmuls ride the MXU."""
     B, H, W, C = x.shape
-    Ho, Wo = 2 * H, 2 * W
-    ys = jnp.linspace(0.0, H - 1.0, Ho)
-    xs = jnp.linspace(0.0, W - 1.0, Wo)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    g = lambda yy, xx: x[:, yy][:, :, xx]
-    out = (g(y0, x0) * (1 - wy) * (1 - wx) + g(y0, x1) * (1 - wy) * wx
-           + g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
-    return out
+    Mh = jnp.asarray(_interp_matrix(H, 2 * H), x.dtype)
+    Mw = jnp.asarray(_interp_matrix(W, 2 * W), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", Mh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", Mw, x)
+    return x
 
 
 class ResNetFPN(nn.Module):
@@ -107,35 +125,39 @@ class ResNetFPN(nn.Module):
     block_dims: tuple[int, ...] = (64, 128, 196, 256, 512, 1024)
     train: bool = False
     axis_name: str | None = None
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         bd = self.block_dims
+        dt = self.dtype
         bn = lambda name: nn.BatchNorm(use_running_average=not self.train,
                                        momentum=0.9, epsilon=1e-5,
-                                       axis_name=self.axis_name, name=name)
-        x1, x2, x3 = ResNet50Trunk(self.train, self.axis_name,
+                                       axis_name=self.axis_name, dtype=dt,
+                                       name=name)
+        x = x.astype(dt)
+        x1, x2, x3 = ResNet50Trunk(self.train, self.axis_name, dt,
                                    name="encode")(x)
 
-        x3_out = nn.Conv(bd[3], (1, 1), use_bias=False,
+        x3_out = nn.Conv(bd[3], (1, 1), use_bias=False, dtype=dt,
                          name="layer3_outconv")(x3)
 
         x3_2x = _upsample2x_align_corners(x3_out)
-        x2_out = nn.Conv(bd[3], (1, 1), use_bias=False,
+        x2_out = nn.Conv(bd[3], (1, 1), use_bias=False, dtype=dt,
                          name="layer2_outconv")(x2)
-        h = nn.Conv(bd[3], (3, 3), padding="SAME", use_bias=False,
+        h = nn.Conv(bd[3], (3, 3), padding="SAME", use_bias=False, dtype=dt,
                     name="layer2_outconv2_0")(x2_out + x3_2x)
         h = nn.leaky_relu(bn("layer2_outconv2_bn")(h), 0.01)
-        x2_out = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False,
+        x2_out = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False, dtype=dt,
                          name="layer2_outconv2_1")(h)
 
         x2_2x = _upsample2x_align_corners(x2_out)
-        x1_out = nn.Conv(bd[2], (1, 1), use_bias=False,
+        x1_out = nn.Conv(bd[2], (1, 1), use_bias=False, dtype=dt,
                          name="layer1_outconv")(x1)
-        h = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False,
+        h = nn.Conv(bd[2], (3, 3), padding="SAME", use_bias=False, dtype=dt,
                     name="layer1_outconv2_0")(x1_out + x2_2x)
         h = nn.leaky_relu(bn("layer1_outconv2_bn")(h), 0.01)
-        x1_out = nn.Conv(bd[1], (3, 3), padding="SAME", use_bias=False,
+        x1_out = nn.Conv(bd[1], (3, 3), padding="SAME", use_bias=False, dtype=dt,
                          name="layer1_outconv2_1")(h)
 
         return x3_out, x1_out  # coarse 1/8 (256), fine 1/2 (128)

@@ -26,7 +26,8 @@ from gim_tpu.models.loftr.backbone import ResNetFPN
 from gim_tpu.models.loftr.transformer import (LocalFeatureTransformer,
                                               sine_pos_encoding)
 from gim_tpu.ops.matching import (cells_to_kpts, dual_softmax,
-                                  fine_expectation, mutual_topk_matches)
+                                  fine_expectation, fused_mutual_topk,
+                                  mutual_topk_matches)
 from gim_tpu.ops.windows import extract_windows_at
 
 
@@ -86,13 +87,14 @@ class LoFTRMatcher(nn.Module):
         x = jnp.concatenate([color0, color1], axis=0)
         x = jnp.transpose(x, (0, 2, 3, 1))                     # NHWC
         feat_c, feat_f = ResNetFPN(c.block_dims, self.train_mode,
-                                   self.axis_name, name="backbone")(x)
+                                   self.axis_name, c.dtype,
+                                   name="backbone")(x)
         feat_c0, feat_c1 = feat_c[:B], feat_c[B:]
         feat_f0, feat_f1 = feat_f[:B], feat_f[B:]
 
         # positional encoding + flatten to sequences
         pe = jnp.asarray(sine_pos_encoding(c.d_model_c, hc, wc,
-                                           c.temp_bug_fix))
+                                           c.temp_bug_fix), feat_c0.dtype)
         f0 = feat_c0.reshape(B, hc * wc, c.d_model_c) + pe[None]
         f1 = feat_c1.reshape(B, hc * wc, c.d_model_c) + pe[None]
 
@@ -109,18 +111,30 @@ class LoFTRMatcher(nn.Module):
             mask_c1 = mask_c1.reshape(B, -1)
 
         f0, f1 = LocalFeatureTransformer(
-            c.d_model_c, c.nhead_c, c.layer_names_c, c.attention_c,
+            c.d_model_c, c.nhead_c, c.layer_names_c, c.attention_c, c.dtype,
             name="loftr_coarse")(f0, f1, mask_c0, mask_c1)
 
-        # coarse matching: dual softmax + mutual NN + static top-k
-        n0 = f0 / c.d_model_c ** 0.5
-        n1 = f1 / c.d_model_c ** 0.5
-        sim = jnp.einsum("nlc,nsc->nls", n0, n1)
-        conf = dual_softmax(sim, c.dsmax_temperature, mask_c0, mask_c1)
-        m = mutual_topk_matches(conf, hw0_c=(hc, wc), hw1_c=(hc, wc),
-                                threshold=c.match_threshold,
-                                border=c.border_rm, max_matches=c.max_matches,
-                                true_hw0=true_hw0, true_hw1=true_hw1)
+        # coarse matching: dual softmax + mutual NN + static top-k.
+        # matching runs in f32 regardless of model dtype
+        n0 = f0.astype(jnp.float32) / c.d_model_c ** 0.5
+        n1 = f1.astype(jnp.float32) / c.d_model_c ** 0.5
+        conf = None
+        if c.fused_matching and not self.train_mode:
+            m = fused_mutual_topk(n0, n1, c.dsmax_temperature,
+                                  mask_c0, mask_c1, hw0_c=(hc, wc),
+                                  hw1_c=(hc, wc),
+                                  threshold=c.match_threshold,
+                                  border=c.border_rm,
+                                  max_matches=c.max_matches,
+                                  true_hw0=true_hw0, true_hw1=true_hw1)
+        else:
+            sim = jnp.einsum("nlc,nsc->nls", n0, n1)
+            conf = dual_softmax(sim, c.dsmax_temperature, mask_c0, mask_c1)
+            m = mutual_topk_matches(conf, hw0_c=(hc, wc), hw1_c=(hc, wc),
+                                    threshold=c.match_threshold,
+                                    border=c.border_rm,
+                                    max_matches=c.max_matches,
+                                    true_hw0=true_hw0, true_hw1=true_hw1)
 
         # fine refinement
         ff0, ff1 = FinePreprocess(c, name="fine_preprocess")(
@@ -130,9 +144,10 @@ class LoFTRMatcher(nn.Module):
         ff0 = ff0.reshape(B * M, WW, c.d_model_f)
         ff1 = ff1.reshape(B * M, WW, c.d_model_f)
         ff0, ff1 = LocalFeatureTransformer(
-            c.d_model_f, c.nhead_f, c.layer_names_f, c.attention_f,
+            c.d_model_f, c.nhead_f, c.layer_names_f, c.attention_f, c.dtype,
             name="loftr_fine")(ff0, ff1)
-        coords_n, std = fine_expectation(ff0, ff1)
+        coords_n, std = fine_expectation(ff0.astype(jnp.float32),
+                                         ff1.astype(jnp.float32))
         coords_n = coords_n.reshape(B, M, 2)
         std = std.reshape(B, M)
 

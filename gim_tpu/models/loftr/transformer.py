@@ -50,28 +50,34 @@ class LoFTREncoderLayer(nn.Module):
     d_model: int
     nhead: int
     attention: str = "linear"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, source, x_mask=None, source_mask=None):
         B, L, C = x.shape
+        dt = self.dtype
         dim = self.d_model // self.nhead
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(source)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(source)
+        q = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="q_proj")(x)
+        k = nn.Dense(self.d_model, use_bias=False, dtype=dt,
+                     name="k_proj")(source)
+        v = nn.Dense(self.d_model, use_bias=False, dtype=dt,
+                     name="v_proj")(source)
         q = q.reshape(B, -1, self.nhead, dim)
         k = k.reshape(B, -1, self.nhead, dim)
         v = v.reshape(B, -1, self.nhead, dim)
         attn = linear_attention if self.attention == "linear" else full_attention
         msg = attn(q, k, v, x_mask, source_mask)
-        msg = nn.Dense(self.d_model, use_bias=False,
+        msg = msg.astype(dt)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=dt,
                        name="merge")(msg.reshape(B, -1, self.d_model))
-        msg = nn.LayerNorm(name="norm1")(msg)
+        msg = nn.LayerNorm(dtype=dt, name="norm1")(msg)
 
-        msg = nn.Dense(2 * self.d_model, use_bias=False,
+        msg = nn.Dense(2 * self.d_model, use_bias=False, dtype=dt,
                        name="mlp1")(jnp.concatenate([x, msg], axis=2))
         msg = nn.relu(msg)
-        msg = nn.Dense(self.d_model, use_bias=False, name="mlp2")(msg)
-        msg = nn.LayerNorm(name="norm2")(msg)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=dt,
+                       name="mlp2")(msg)
+        msg = nn.LayerNorm(dtype=dt, name="norm2")(msg)
         return x + msg
 
 
@@ -82,16 +88,21 @@ class LocalFeatureTransformer(nn.Module):
     nhead: int
     n_pairs: int
     attention: str = "linear"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feat0, feat1, mask0=None, mask1=None):
+        feat0 = feat0.astype(self.dtype)
+        feat1 = feat1.astype(self.dtype)
         for i in range(self.n_pairs):
             slayer = LoFTREncoderLayer(self.d_model, self.nhead,
-                                       self.attention, name=f"self_{i}")
+                                       self.attention, self.dtype,
+                                       name=f"self_{i}")
             feat0 = slayer(feat0, feat0, mask0, mask0)
             feat1 = slayer(feat1, feat1, mask1, mask1)
             clayer = LoFTREncoderLayer(self.d_model, self.nhead,
-                                       self.attention, name=f"cross_{i}")
+                                       self.attention, self.dtype,
+                                       name=f"cross_{i}")
             feat0 = clayer(feat0, feat1, mask0, mask1)
             feat1 = clayer(feat1, feat0, mask1, mask0)
         return feat0, feat1

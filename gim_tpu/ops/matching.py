@@ -97,6 +97,46 @@ def mutual_topk_matches(conf: jax.Array, *, hw0_c: tuple[int, int],
             "mconf": top_conf, "valid": valid}
 
 
+def fused_mutual_topk(n0: jax.Array, n1: jax.Array, temperature: float,
+                      mask0, mask1, *, hw0_c, hw1_c, threshold, border,
+                      max_matches, true_hw0=None, true_hw1=None):
+    """mutual_topk_matches built on the fused Pallas dual-softmax kernel —
+    no (L, S) confidence matrix is materialized. Same outputs/semantics as
+    `mutual_topk_matches`."""
+    from gim_tpu.ops.pallas_kernels.dsmax import dual_softmax_mutual
+
+    N, L, C = n0.shape
+
+    def one(f0, f1, m0, m1):
+        return dual_softmax_mutual(f0, f1, temperature, m0, m1)
+
+    if mask0 is None:
+        jbest, conf, mutual = jax.vmap(lambda a, b: one(a, b, None, None))(
+            n0, n1)
+    else:
+        jbest, conf, mutual = jax.vmap(one)(n0, n1, mask0, mask1)
+
+    b0 = _border_mask(*hw0_c, border, true_hw0)
+    b1 = _border_mask(*hw1_c, border, true_hw1)
+    b0 = b0 if b0.ndim == 2 else jnp.broadcast_to(b0[None], (N,) + b0.shape)
+    b1 = b1 if b1.ndim == 2 else jnp.broadcast_to(b1[None], (N,) + b1.shape)
+    ok = (mutual & (conf > threshold) & b0
+          & jnp.take_along_axis(b1, jbest, axis=1))
+    mconf = jnp.where(ok, conf, 0.0)
+
+    k = min(max_matches, L)
+    top_conf, i_ids = jax.lax.top_k(mconf, k)
+    if k < max_matches:
+        pad = max_matches - k
+        top_conf = jnp.pad(top_conf, ((0, 0), (0, pad)))
+        i_ids = jnp.pad(i_ids, ((0, 0), (0, pad)))
+    j_sel = jnp.take_along_axis(jbest, i_ids, axis=1)
+    valid = top_conf > 0.0
+    return {"i_ids": i_ids.astype(jnp.int32),
+            "j_ids": j_sel.astype(jnp.int32),
+            "mconf": top_conf, "valid": valid}
+
+
 def cells_to_kpts(ids: jax.Array, wc: int, scale) -> jax.Array:
     """Flattened coarse cell ids -> xy pixel coords at original resolution
     (coarse_matching.py:240-248). scale broadcasts (scalar or (N,1,2))."""

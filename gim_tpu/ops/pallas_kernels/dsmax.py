@@ -4,16 +4,20 @@ The LoFTR coarse matcher needs, for features f0 (L, C) and f1 (S, C):
     conf = softmax_rows(sim) * softmax_cols(sim),  sim = f0 f1^T / T
 followed by row-wise argmax/max (and the transposed side for the mutual
 check). Materializing conf costs L*S floats of HBM (486 MB at 840px,
-several round trips). This kernel streams sim tiles out of two MXU matmul
-passes and never writes the matrix:
+several round trips). This kernel streams sim tiles out of MXU matmul
+passes and never writes the matrix.
 
-- pass 1 (`_stats_kernel`): per row-block, online max/sum of exp over all
-  column tiles (flash-attention style rescaling) -> (max, sum) per row.
-  Called twice (once transposed) for row and column stats.
-- pass 2 (`_argmax_kernel`): recomputes sim tiles, forms
-  conf = exp(s - rmax)/rsum * exp(s - cmax)/csum with both stats resident
-  in VMEM, and tracks the per-row best column and value. Called twice for
-  the mutual check.
+Layout: 2-D grid (row tiles, column tiles), column axis iterating fastest,
+outputs indexed by row tile only — the accumulator blocks stay resident in
+VMEM across the column sweep (flash-attention style online rescaling), and
+each step holds just one (BL, C) x (BS, C) tile pair, so VMEM use is
+constant in L, S and batch (the bs>1 path vmaps into the grid).
+
+- `_stats_kernel`: online max/sum of exp per row. Called twice (once
+  transposed) for row and column stats.
+- `_argmax_kernel`: recomputes sim tiles, forms
+  conf = exp(s - rmax)/rsum * exp(s - cmax)/csum and tracks the per-row
+  best column/value. Called twice for the mutual check.
 
 Cost: 4 MXU sweeps of L*S*C MACs, zero conf-matrix HBM traffic.
 Interpret mode keeps CPU tests exact.
@@ -35,93 +39,75 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _stats_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, max_ref, sum_ref,
-                  *, block_s: int):
-    """Row-block program: online softmax stats over all column tiles.
-    f0_ref: (BL, C); f1_ref: (S, C) resident; outputs (BL, 1) each."""
-    S = f1_ref.shape[0]
-    inv_t = inv_t_ref[0]
-    n_s = S // block_s
+def _stats_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, max_ref, sum_ref):
+    """Grid (i, j): f0 block (BL, C), f1 block (BS, C), mask (1, BS);
+    accumulates max/sum (BL, 1) across the j sweep."""
+    j = pl.program_id(1)
 
-    def body(si, carry):
-        m, s = carry
-        f1 = f1_ref[pl.ds(si * block_s, block_s), :]
-        sim = jnp.dot(f0_ref[:], f1.T,
-                      preferred_element_type=jnp.float32) * inv_t
-        msk = mask1_ref[pl.ds(si * block_s, block_s)]
-        sim = jnp.where(msk[None, :] > 0, sim, NEG)
-        tile_max = jnp.max(sim, axis=1, keepdims=True)
-        new_m = jnp.maximum(m, tile_max)
-        s = s * jnp.exp(m - new_m) + jnp.sum(jnp.exp(sim - new_m), axis=1,
-                                             keepdims=True)
-        return new_m, s
+    @pl.when(j == 0)
+    def _():
+        max_ref[:] = jnp.full_like(max_ref, NEG)
+        sum_ref[:] = jnp.zeros_like(sum_ref)
 
-    m0 = jnp.full((f0_ref.shape[0], 1), NEG, jnp.float32)
-    s0 = jnp.zeros((f0_ref.shape[0], 1), jnp.float32)
-    m, s = jax.lax.fori_loop(0, n_s, body, (m0, s0))
-    max_ref[:] = m
-    sum_ref[:] = s
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) * inv_t_ref[0]
+    sim = jnp.where(mask1_ref[:] > 0, sim, NEG)   # (BL, BS) via (1, BS)
+    tile_max = jnp.max(sim, axis=1, keepdims=True)
+    m_old = max_ref[:]
+    m_new = jnp.maximum(m_old, tile_max)
+    sum_ref[:] = (sum_ref[:] * jnp.exp(m_old - m_new)
+                  + jnp.sum(jnp.exp(sim - m_new), axis=1, keepdims=True))
+    max_ref[:] = m_new
 
 
 def _argmax_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, rmax_ref, rsum_ref,
                    cmax_ref, csum_ref, best_ref, conf_ref, *, block_s: int):
-    """Row-block program: conf argmax over all column tiles."""
-    S = f1_ref.shape[0]
-    inv_t = inv_t_ref[0]
-    n_s = S // block_s
-    BL = f0_ref.shape[0]
+    """Grid (i, j): tracks per-row best column/value of conf."""
+    j = pl.program_id(1)
 
-    def body(si, carry):
-        best_v, best_j = carry
-        f1 = f1_ref[pl.ds(si * block_s, block_s), :]
-        sim = jnp.dot(f0_ref[:], f1.T,
-                      preferred_element_type=jnp.float32) * inv_t
-        msk = mask1_ref[pl.ds(si * block_s, block_s)]
-        sim = jnp.where(msk[None, :] > 0, sim, NEG)
-        cm = cmax_ref[pl.ds(si * block_s, block_s)]
-        cs = csum_ref[pl.ds(si * block_s, block_s)]
-        conf = (jnp.exp(sim - rmax_ref[:]) / rsum_ref[:]
-                * jnp.exp(sim - cm[None, :]) / cs[None, :])
-        tile_v = jnp.max(conf, axis=1)
-        tile_j = jnp.argmax(conf, axis=1).astype(jnp.int32) + si * block_s
-        upd = tile_v > best_v
-        return jnp.where(upd, tile_v, best_v), jnp.where(upd, tile_j, best_j)
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.zeros_like(best_ref)
+        conf_ref[:] = jnp.full_like(conf_ref, -1.0)
 
-    v0 = jnp.full((BL,), -1.0, jnp.float32)
-    j0 = jnp.zeros((BL,), jnp.int32)
-    v, j = jax.lax.fori_loop(0, n_s, body, (v0, j0))
-    best_ref[:] = j
-    conf_ref[:] = v
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) * inv_t_ref[0]
+    sim = jnp.where(mask1_ref[:] > 0, sim, NEG)
+    conf = (jnp.exp(sim - rmax_ref[:]) / rsum_ref[:]
+            * jnp.exp(sim - cmax_ref[:]) / csum_ref[:])
+    tile_v = jnp.max(conf, axis=1, keepdims=True)
+    tile_j = (jnp.argmax(conf, axis=1).astype(jnp.int32)[:, None]
+              + j * block_s)
+    upd = tile_v > conf_ref[:]
+    conf_ref[:] = jnp.where(upd, tile_v, conf_ref[:])
+    best_ref[:] = jnp.where(upd, tile_j, best_ref[:])
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pad_rows(f, L_pad):
-    return jnp.pad(f, ((0, L_pad - f.shape[0]), (0, 0)))
-
-
 @functools.partial(jax.jit, static_argnames=("block_l", "block_s"))
 def _stats(f0, f1, inv_t, mask1, block_l=256, block_s=256):
-    L = f0.shape[0]
-    grid = (L // block_l,)
+    L, C = f0.shape
+    S = f1.shape[0]
+    grid = (L // block_l, S // block_s)
     return pl.pallas_call(
-        functools.partial(_stats_kernel, block_s=block_s),
+        _stats_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_l, f0.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((block_l, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f1.shape[0], f1.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((block_s, C), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((f1.shape[0],), lambda i: (0,),
+            pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_l, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.float32),
@@ -131,38 +117,42 @@ def _stats(f0, f1, inv_t, mask1, block_l=256, block_s=256):
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "block_s"))
-def _argmax(f0, f1, inv_t, mask1, rmax, rsum, cmax, csum,
+def _argmax(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row,
             block_l=256, block_s=256):
-    L = f0.shape[0]
+    """cmax_row/csum_row: (1, S) row-vector layouts of the column stats."""
+    L, C = f0.shape
     S = f1.shape[0]
-    grid = (L // block_l,)
+    grid = (L // block_l, S // block_s)
     return pl.pallas_call(
         functools.partial(_argmax_kernel, block_s=block_s),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_l, f0.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((block_l, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, f1.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((block_s, C), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_l,), lambda i: (i,),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l,), lambda i: (i,),
+            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((L,), jnp.int32),
-                   jax.ShapeDtypeStruct((L,), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((L, 1), jnp.float32)],
         interpret=_interpret(),
-    )(f0, f1, inv_t, mask1, rmax, rsum, cmax, csum)
+    )(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row)
 
 
 def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
@@ -181,24 +171,26 @@ def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
     S = f1.shape[0]
     Lp = _round_up(L, block)
     Sp = _round_up(S, block)
-    f0p = _pad_rows(f0.astype(jnp.float32), Lp)
-    f1p = _pad_rows(f1.astype(jnp.float32), Sp)
-    m0 = jnp.ones(L, jnp.float32) if mask0 is None else mask0.astype(jnp.float32)
-    m1 = jnp.ones(S, jnp.float32) if mask1 is None else mask1.astype(jnp.float32)
-    m0p = jnp.pad(m0, (0, Lp - L))
-    m1p = jnp.pad(m1, (0, Sp - S))
+    f0p = jnp.pad(f0.astype(jnp.float32), ((0, Lp - L), (0, 0)))
+    f1p = jnp.pad(f1.astype(jnp.float32), ((0, Sp - S), (0, 0)))
+    m0 = (jnp.ones(L, jnp.float32) if mask0 is None
+          else mask0.astype(jnp.float32))
+    m1 = (jnp.ones(S, jnp.float32) if mask1 is None
+          else mask1.astype(jnp.float32))
+    m0p = jnp.pad(m0, (0, Lp - L))[None]        # (1, Lp)
+    m1p = jnp.pad(m1, (0, Sp - S))[None]        # (1, Sp)
     inv_t = jnp.array([1.0 / temperature], jnp.float32)
 
     rmax, rsum = _stats(f0p, f1p, inv_t, m1p, block, block)
     cmax, csum = _stats(f1p, f0p, inv_t, m0p, block, block)
     jbest, conf_r = _argmax(f0p, f1p, inv_t, m1p, rmax, rsum,
-                            cmax[:, 0], csum[:, 0], block, block)
+                            cmax.T, csum.T, block, block)
     ibest, _ = _argmax(f1p, f0p, inv_t, m0p, cmax, csum,
-                       rmax[:, 0], rsum[:, 0], block, block)
+                       rmax.T, rsum.T, block, block)
 
-    jbest = jbest[:L]
-    conf_r = conf_r[:L]
-    ibest = ibest[:S]
+    jbest = jbest[:L, 0]
+    conf_r = conf_r[:L, 0]
+    ibest = ibest[:S, 0]
     mutual = jnp.take(ibest, jnp.clip(jbest, 0, S - 1)) == jnp.arange(L)
     valid_rows = (m0 > 0) if mask0 is not None else jnp.ones(L, bool)
     return jbest, jnp.where(valid_rows, conf_r, 0.0), mutual & valid_rows

@@ -132,3 +132,33 @@ def test_loftr_weight_port_roundtrip_structure():
     assert jax.tree_util.tree_structure(flat_port) == \
         jax.tree_util.tree_structure(flat_init)
     assert flat_port == flat_init
+
+
+def test_loftr_fused_matching_matches_dense():
+    """fused_matching=True (Pallas kernel, interpret mode on CPU) must give
+    the same matches as the dense path."""
+    import dataclasses
+
+    cfg_dense = LoFTRConfig(max_matches=32)
+    cfg_fused = dataclasses.replace(cfg_dense, fused_matching=True)
+    rng = jax.random.PRNGKey(0)
+    img0 = jax.random.uniform(rng, (1, 3, 64, 64))
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    variables = loftr_model.init_params(rng, cfg_dense, input_hw=(64, 64))
+    with HIGH:
+        out_d = loftr_model.LoFTRMatcher(cfg_dense).apply(
+            variables, img0, img1)
+        out_f = loftr_model.LoFTRMatcher(cfg_fused).apply(
+            variables, img0, img1)
+    vd = np.asarray(out_d["valid"][0])
+    vf = np.asarray(out_f["valid"][0])
+    pairs_d = {(int(i), int(j)) for i, j, v in
+               zip(np.asarray(out_d["i_ids"][0]),
+                   np.asarray(out_d["j_ids"][0]), vd) if v}
+    pairs_f = {(int(i), int(j)) for i, j, v in
+               zip(np.asarray(out_f["i_ids"][0]),
+                   np.asarray(out_f["j_ids"][0]), vf) if v}
+    assert pairs_d == pairs_f
+    np.testing.assert_allclose(np.asarray(out_f["mconf"][0])[vf].sum(),
+                               np.asarray(out_d["mconf"][0])[vd].sum(),
+                               rtol=1e-4)

@@ -26,7 +26,7 @@ def test_dsmax_kernel_matches_dense():
     f0 = jnp.asarray(rng.standard_normal((L, C)).astype(np.float32))
     f1 = jnp.asarray(rng.standard_normal((S, C)).astype(np.float32))
     with jax.default_matmul_precision("highest"):
-        jb, vb, mu = dual_softmax_mutual(f0, f1, 0.1, block=32)
+        jb, vb, mu = dual_softmax_mutual(f0, f1, 0.1, block=128)
         jb_r, vb_r, mu_r = _dense_reference(f0, f1, 0.1)
     np.testing.assert_allclose(np.asarray(vb), np.asarray(vb_r),
                                rtol=1e-4, atol=1e-7)
@@ -42,7 +42,7 @@ def test_dsmax_kernel_masked():
     m0 = jnp.asarray(rng.random(L) > 0.25)
     m1 = jnp.asarray(rng.random(S) > 0.25)
     with jax.default_matmul_precision("highest"):
-        jb, vb, mu = dual_softmax_mutual(f0, f1, 0.1, m0, m1, block=16)
+        jb, vb, mu = dual_softmax_mutual(f0, f1, 0.1, m0, m1, block=128)
         jb_r, vb_r, mu_r = _dense_reference(f0, f1, 0.1, m0, m1)
     keep = np.asarray(m0)
     np.testing.assert_allclose(np.asarray(vb)[keep], np.asarray(vb_r)[keep],

@@ -101,10 +101,11 @@ class PPMDecoder(nn.Module):
         B, H, W, C = conv5.shape
         outs = [conv5]
         for si, scale in enumerate(self.pool_scales):
-            # adaptive average pool to (scale, scale)
-            ph, pw = H // scale, W // scale
+            # adaptive average pool to (scale, scale); maps smaller than the
+            # scale keep their native resolution (resized below anyway)
+            ph, pw = max(H // scale, 1), max(W // scale, 1)
             pooled = nn.avg_pool(conv5, (ph, pw), strides=(ph, pw))
-            pooled = pooled[:, :scale, :scale]
+            pooled = pooled[:, :min(scale, H), :min(scale, W)]
             h = nn.Conv(512, (1, 1), use_bias=False,
                         name=f"ppm_{si}_conv")(pooled)
             h = nn.BatchNorm(use_running_average=True, momentum=0.9,

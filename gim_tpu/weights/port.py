@@ -351,3 +351,43 @@ def port_roma(sd: dict, dinov2_sd: dict | None = None,
         dino = port_dinov2(dinov2_sd)
         out["params"]["dino"] = dino["params"]
     return out
+
+
+# ---------------------------------------------------------------------------
+# mit_semseg (ADE20K segmentation: encoder_epoch_20.pth + decoder_epoch_20.pth)
+# ---------------------------------------------------------------------------
+
+def port_semseg(encoder_sd: dict, decoder_sd: dict) -> dict:
+    """CSAIL resnet50dilated encoder + ppm_deepsup decoder checkpoints ->
+    flax variables for models.semseg.SegmentationModel. The deepsup branch
+    (cbr_deepsup/conv_last_deepsup) is training-only and dropped."""
+    m = Mapper(encoder_sd)
+    for i in ("1", "2", "3"):
+        m.conv(f"conv{i}", f"encoder/conv{i}", bias=False)
+        m.batchnorm(f"bn{i}", f"encoder/bn{i}")
+    for li, blocks in (("1", 3), ("2", 4), ("3", 6), ("4", 3)):
+        for b in range(blocks):
+            t = f"layer{li}.{b}"
+            f = f"encoder/layer{li}_{b}"
+            for cc in ("1", "2", "3"):
+                m.conv(f"{t}.conv{cc}", f"{f}/conv{cc}", bias=False)
+                m.batchnorm(f"{t}.bn{cc}", f"{f}/bn{cc}")
+            if f"{t}.downsample.0.weight" in m.sd:
+                m.conv(f"{t}.downsample.0", f"{f}/down_conv", bias=False)
+                m.batchnorm(f"{t}.downsample.1", f"{f}/down_bn")
+    m.drop("fc.")
+    assert not m.sd, f"unmapped semseg encoder keys: {list(m.sd)[:8]}"
+
+    d = Mapper(decoder_sd)
+    for i in range(4):  # pool scales (1, 2, 3, 6)
+        d.conv(f"ppm.{i}.1", f"decoder/ppm_{i}_conv", bias=False)
+        d.batchnorm(f"ppm.{i}.2", f"decoder/ppm_{i}_bn")
+    d.conv("conv_last.0", "decoder/last_conv", bias=False)
+    d.batchnorm("conv_last.1", "decoder/last_bn")
+    d.conv("conv_last.4", "decoder/cls")
+    d.drop("cbr_deepsup", "conv_last_deepsup", "dropout_deepsup")
+    assert not d.sd, f"unmapped semseg decoder keys: {list(d.sd)[:8]}"
+
+    params = {**m.tree, **d.tree}
+    stats = {**m.stats, **d.stats}
+    return {"params": params, "batch_stats": stats}

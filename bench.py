@@ -16,7 +16,7 @@ os.environ.setdefault("GIM_TPU_COMPILE_CACHE", "/tmp/gim_tpu_compile_cache")
 
 A100_PYTORCH_PAIRS_PER_SEC = 5.0
 IMG = 832  # 840 rounded to /64 for clean MXU tiling; same token regime
-BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH", "2"))
+BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("GIM_TPU_BENCH_ITERS", "16"))
 
 

@@ -43,12 +43,16 @@ def grid_sample(image: jax.Array, grid: jax.Array, *, align_corners: bool = Fals
     wy1 = y - y0
     wx0, wy0 = 1.0 - wx1, 1.0 - wy1
 
+    # (..., H*W, C) row-major points: leading-dim gathers are the efficient
+    # form on TPU (minor-dim indexing lowers to scalar dynamic-slices)
+    rows = jnp.moveaxis(image, -3, -1).reshape(*image.shape[:-3], H * W, C)
+
     def gather(yy, xx):
         yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
         xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
-        flat = image.reshape(*image.shape[:-2], H * W)          # (..., C, H*W)
         idx = yi * W + xi                                       # (..., P)
-        vals = jnp.take_along_axis(flat, idx[..., None, :], axis=-1)  # (..., C, P)
+        vals = jnp.take_along_axis(rows, idx[..., :, None], axis=-2)
+        vals = jnp.swapaxes(vals, -1, -2)                       # (..., C, P)
         if padding_mode == "zeros":
             ok = (yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1)
             vals = vals * ok[..., None, :]

@@ -38,10 +38,12 @@ def extract_windows_at(feat: jax.Array, centers_ij: jax.Array, *,
     xx = cj[:, None, None] + off[None, None, :] + r      # (M, 1, w)
     yy = jnp.broadcast_to(yy, (centers_ij.shape[0], window, window))
     xx = jnp.broadcast_to(xx, (centers_ij.shape[0], window, window))
-    flat = padded.reshape(C, -1)                         # (C, (H+2r)*(W+2r))
     idx = (yy * (W + 2 * r) + xx).reshape(-1)            # (M*w*w,)
-    out = flat[:, idx].reshape(C, -1, window * window)   # (C, M, w*w)
-    return jnp.transpose(out, (1, 2, 0))
+    # gather ROWS of (P, C) — leading-dim gathers lower efficiently on TPU,
+    # minor-dim fancy indexing degenerates to scalar dynamic-slices
+    flat = jnp.transpose(padded, (1, 2, 0)).reshape(-1, C)
+    out = jnp.take(flat, idx, axis=0)                    # (M*w*w, C)
+    return out.reshape(-1, window * window, C)
 
 
 def unfold_nchw(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:

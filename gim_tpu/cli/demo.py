@@ -120,9 +120,19 @@ def main(argv=None):
     cv2.imwrite(str(out_dir / f"{stem}_match.png"), fig[..., ::-1])
 
     if inliers.sum() >= 4:
-        Hm, _ = cv2.findHomography(k0o[inliers], k1o[inliers], cv2.RANSAC, 3.0)
-        if Hm is not None:
-            fig2 = warp_figure(rgb0, rgb1, Hm)
+        # homography via the same on-chip RANSAC (ref demo.py uses host
+        # cv2.findHomography for compute_geom; we stay on-device)
+        sel = np.where(np.asarray(res.valid[0]) & inl_full)[0]
+        pad = np.zeros(res.kpts0.shape[1], bool)
+        pad[sel] = True
+        hk0 = np.asarray(res.kpts0[0]) * s0[None]
+        hk1 = np.asarray(res.kpts1[0]) * s1[None]
+        hfit = ransac(jnp.asarray(hk0), jnp.asarray(hk1), jnp.asarray(pad),
+                      jax.random.PRNGKey(1), 3.0, model_kind="homography",
+                      num_hypotheses=1024)
+        Hm = np.asarray(hfit.model).astype(np.float64)
+        if np.isfinite(Hm).all() and abs(Hm[2, 2]) > 1e-9:
+            fig2 = warp_figure(rgb0, rgb1, Hm / Hm[2, 2])
             cv2.imwrite(str(out_dir / f"{stem}_warp.png"), fig2[..., ::-1])
     print(f"[demo] wrote {out_dir}/{stem}_match.png")
 

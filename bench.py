@@ -16,7 +16,9 @@ os.environ.setdefault("GIM_TPU_COMPILE_CACHE", "/tmp/gim_tpu_compile_cache")
 
 A100_PYTORCH_PAIRS_PER_SEC = 5.0
 IMG = 832  # 840 rounded to /64 for clean MXU tiling; same token regime
-BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH", "8"))
+MODEL = os.environ.get("GIM_TPU_BENCH_MODEL", "gim_loftr")
+BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH",
+                           "8" if MODEL == "gim_loftr" else "16"))
 ITERS = int(os.environ.get("GIM_TPU_BENCH_ITERS", "16"))
 
 
@@ -31,15 +33,20 @@ def main():
     except Exception:
         pass
 
-    from gim_tpu.api import match_fn
+    from gim_tpu.api import Matcher, match_fn
     from gim_tpu.config import GimConfig, LoFTRConfig
-    from gim_tpu.models.loftr import init_params
 
-    cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
-                                      fused_matching=True))
-    variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))
+    if MODEL == "gim_loftr":
+        from gim_tpu.models.loftr import init_params
 
-    fn = jax.jit(lambda v, a, b, s0, s1: match_fn("gim_loftr", cfg, v, a, b,
+        cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
+                                          fused_matching=True))
+        variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))
+    else:
+        cfg = GimConfig()
+        variables = Matcher(MODEL, cfg).variables
+
+    fn = jax.jit(lambda v, a, b, s0, s1: match_fn(MODEL, cfg, v, a, b,
                                                   s0, s1))
     key = jax.random.PRNGKey(1)
     img0 = jax.random.uniform(key, (BATCH, 3, IMG, IMG), jnp.float32)
@@ -64,7 +71,7 @@ def main():
 
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": f"gim_loftr image pairs/sec/chip @ {IMG}px",
+        "metric": f"{MODEL} image pairs/sec/chip @ {IMG}px",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_PYTORCH_PAIRS_PER_SEC, 3),

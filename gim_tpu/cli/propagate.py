@@ -34,14 +34,14 @@ def main(argv=None):
         raise SystemExit(f"no label sources under {seq_root}; run "
                          "gim_tpu.cli.video_preprocessor first")
 
+    import re
+
     sources: dict[int, list[LabelStore]] = {}
     for d in sorted(os.listdir(seq_root)):
-        if "_s" not in d:
+        m = re.search(r"_s(\d+)_r\d+$", d)
+        if not m:
             continue
-        try:
-            skip = int(d.split("_s")[1].split("_")[0])
-        except ValueError:
-            continue
+        skip = int(m.group(1))
         sources.setdefault(skip, []).append(LabelStore(join(seq_root, d)))
     if not sources:
         raise SystemExit(f"no per-skip label stores found in {seq_root}")

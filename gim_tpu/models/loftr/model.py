@@ -115,12 +115,15 @@ class LoFTRMatcher(nn.Module):
             name="loftr_coarse")(f0, f1, mask_c0, mask_c1)
 
         # coarse matching: dual softmax + mutual NN + static top-k.
-        # matching runs in f32 regardless of model dtype
+        # dense path runs f32; the fused kernel keeps the model dtype for
+        # its MXU sweeps (f32 accumulation + f32 softmax stats inside)
         n0 = f0.astype(jnp.float32) / c.d_model_c ** 0.5
         n1 = f1.astype(jnp.float32) / c.d_model_c ** 0.5
         conf = None
         if c.fused_matching and not self.train_mode:
-            m = fused_mutual_topk(n0, n1, c.dsmax_temperature,
+            nk0 = (f0 / c.d_model_c ** 0.5)
+            nk1 = (f1 / c.d_model_c ** 0.5)
+            m = fused_mutual_topk(nk0, nk1, c.dsmax_temperature,
                                   mask_c0, mask_c1, hw0_c=(hc, wc),
                                   hw1_c=(hc, wc),
                                   threshold=c.match_threshold,

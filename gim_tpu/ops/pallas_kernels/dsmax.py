@@ -171,8 +171,10 @@ def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
     S = f1.shape[0]
     Lp = _round_up(L, block)
     Sp = _round_up(S, block)
-    f0p = jnp.pad(f0.astype(jnp.float32), ((0, Lp - L), (0, 0)))
-    f1p = jnp.pad(f1.astype(jnp.float32), ((0, Sp - S), (0, 0)))
+    # keep the caller's dtype for the MXU sweeps (bf16 halves both FLOP
+    # time and VMEM traffic; accumulation is f32 via preferred_element_type)
+    f0p = jnp.pad(f0, ((0, Lp - L), (0, 0)))
+    f1p = jnp.pad(f1, ((0, Sp - S), (0, 0)))
     m0 = (jnp.ones(L, jnp.float32) if mask0 is None
           else mask0.astype(jnp.float32))
     m1 = (jnp.ones(S, jnp.float32) if mask1 is None

@@ -39,8 +39,12 @@ def main():
     if MODEL == "gim_loftr":
         from gim_tpu.models.loftr import init_params
 
+        # dense matching wins at bs8 on v5e (fits in HBM and XLA's fused
+        # softmax beats our kernel's VPU exp cost; the Pallas fused path
+        # is for memory-constrained larger L or bigger batches)
+        fused = os.environ.get("GIM_TPU_BENCH_FUSED", "0") == "1"
         cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
-                                          fused_matching=True))
+                                          fused_matching=fused))
         variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))
     else:
         cfg = GimConfig()

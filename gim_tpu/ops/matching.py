@@ -108,7 +108,9 @@ def fused_mutual_topk(n0: jax.Array, n1: jax.Array, temperature: float,
     N, L, C = n0.shape
 
     def one(f0, f1, m0, m1):
-        return dual_softmax_mutual(f0, f1, temperature, m0, m1)
+        # 1024-wide blocks: grid-step overhead dominates small tiles once
+        # the call is vmapped over the batch (each step is ~us-scale)
+        return dual_softmax_mutual(f0, f1, temperature, m0, m1, block=1024)
 
     if mask0 is None:
         jbest, conf, mutual = jax.vmap(lambda a, b: one(a, b, None, None))(

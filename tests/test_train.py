@@ -1,0 +1,95 @@
+"""Training-path tests: losses, GT assignment, one real optimization step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gim_tpu.config import GimConfig, LightGlueConfig, LoFTRConfig
+from gim_tpu.train import losses as L
+
+
+def test_coarse_focal_loss_prefers_correct_confidence():
+    conf_gt = jnp.zeros((1, 4, 4)).at[0, 1, 2].set(1.0)
+    good = jnp.full((1, 4, 4), 0.01).at[0, 1, 2].set(0.95)
+    bad = jnp.full((1, 4, 4), 0.01).at[0, 1, 2].set(0.01).at[0, 3, 3].set(0.9)
+    lg = L.coarse_focal_loss(good, conf_gt)
+    lb = L.coarse_focal_loss(bad, conf_gt)
+    assert float(lg) < float(lb)
+
+
+def test_fine_l2_std_loss_masks_out_of_window():
+    expec = jnp.zeros((1, 3, 3)).at[..., 2].set(1.0)  # std 1
+    gt = jnp.array([[[0.1, 0.1], [5.0, 5.0], [0.2, 0.2]]])
+    valid = jnp.array([[True, True, False]])
+    loss = L.fine_l2_std_loss(expec, gt, valid, correct_thr=1.0)
+    # only the first entry contributes: 0.1^2 + 0.1^2
+    np.testing.assert_allclose(float(loss), 0.02, rtol=1e-4)
+
+
+def test_coarse_gt_from_labels_scatter():
+    labels = jnp.array([[[4.0, 4.0, 12.0, 4.0],
+                         [20.0, 20.0, 20.0, 20.0]]])
+    valid = jnp.array([[True, False]])
+    gt = L.coarse_gt_from_labels(labels, valid, hw_c=(4, 4), scale=8)
+    assert gt.shape == (1, 16, 16)
+    assert float(gt[0, 0, 1]) == 1.0      # (0,0) cell -> (0,1) cell
+    assert float(gt.sum()) == 1.0         # invalid label ignored
+
+
+def test_lightglue_gt_assignment_and_step():
+    from gim_tpu.train.lightglue_loop import (assign_gt_matches,
+                                              lightglue_loss,
+                                              lightglue_train_step)
+    import optax
+
+    k0 = jnp.array([[[10.0, 10.0], [50.0, 50.0], [0.0, 0.0]]])
+    k1 = jnp.array([[[11.0, 12.0], [52.0, 49.0], [0.0, 0.0]]])
+    v = jnp.array([[True, True, False]])
+    labels = jnp.array([[[10.0, 10.0, 11.5, 11.5],
+                         [50.0, 50.0, 51.0, 49.5]]])
+    lv = jnp.array([[True, True]])
+    gt = assign_gt_matches(k0, v, k1, v, labels, lv, gt_thr=3.0)
+    np.testing.assert_array_equal(np.asarray(gt)[0], [0, 1, -1])
+
+    # one optimization step decreases the NLL on a tiny problem
+    cfg = GimConfig(
+        superpoint=__import__("gim_tpu.config", fromlist=["x"]).SuperPointConfig(
+            max_num_keypoints=64),
+        lightglue=LightGlueConfig(n_layers=2, descriptor_dim=64,
+                                  input_dim=64, num_heads=4))
+    from gim_tpu.models import lightglue as lgm
+    from gim_tpu.models import superpoint as spm
+
+    rng = jax.random.PRNGKey(0)
+    variables = {
+        "superpoint": spm.init_params(rng, cfg.superpoint),
+        "lightglue": lgm.init_params(rng, cfg.lightglue, k=64),
+    }
+    batch = {
+        "color0": jax.random.uniform(rng, (1, 3, 64, 64)),
+        "color1": jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64)),
+        "labels": jnp.tile(jnp.array([[8.0, 8.0, 8.0, 8.0]]), (1, 32, 1))
+                  .reshape(1, 32, 4),
+        "label_valid": jnp.ones((1, 32), bool),
+    }
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(variables["lightglue"])
+    l0, _ = lightglue_loss(cfg, variables, batch)
+    variables, opt_state, logs = lightglue_train_step(cfg, tx, variables,
+                                                      opt_state, batch)
+    l1 = logs["loss"]
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+
+
+def test_lr_schedule_reference_rules():
+    from gim_tpu.config import TrainerConfig
+    from gim_tpu.train.loop import make_schedule
+
+    t = TrainerConfig()
+    # linear scaling (ref test.py:158-165)
+    assert abs(t.true_lr(8, 1) - 1e-3 * 8 / 64) < 1e-12
+    assert t.true_warmup(8, 1) == int(4800 / (8 / 64))
+    sched = make_schedule(t, 64, 1, steps_per_epoch=10)
+    lr0 = float(sched(0))
+    lr_mid = float(sched(t.true_warmup(64, 1)))
+    assert lr0 < lr_mid

@@ -51,12 +51,13 @@ def test_lightglue_gt_assignment_and_step():
     gt = assign_gt_matches(k0, v, k1, v, labels, lv, gt_thr=3.0)
     np.testing.assert_array_equal(np.asarray(gt)[0], [0, 1, -1])
 
-    # one optimization step decreases the NLL on a tiny problem
+    # one optimization step on a tiny problem (dims must match SuperPoint's
+    # 256-d descriptors)
+    from gim_tpu.config import SuperPointConfig
+
     cfg = GimConfig(
-        superpoint=__import__("gim_tpu.config", fromlist=["x"]).SuperPointConfig(
-            max_num_keypoints=64),
-        lightglue=LightGlueConfig(n_layers=2, descriptor_dim=64,
-                                  input_dim=64, num_heads=4))
+        superpoint=SuperPointConfig(max_num_keypoints=64),
+        lightglue=LightGlueConfig(n_layers=2))
     from gim_tpu.models import lightglue as lgm
     from gim_tpu.models import superpoint as spm
 
@@ -89,7 +90,10 @@ def test_lr_schedule_reference_rules():
     # linear scaling (ref test.py:158-165)
     assert abs(t.true_lr(8, 1) - 1e-3 * 8 / 64) < 1e-12
     assert t.true_warmup(8, 1) == int(4800 / (8 / 64))
-    sched = make_schedule(t, 64, 1, steps_per_epoch=10)
+    # realistic epoch size: milestones (in epochs) land after warmup
+    sched = make_schedule(t, 64, 1, steps_per_epoch=10000)
     lr0 = float(sched(0))
-    lr_mid = float(sched(t.true_warmup(64, 1)))
-    assert lr0 < lr_mid
+    lr_end_warmup = float(sched(t.true_warmup(64, 1)))
+    assert lr0 < lr_end_warmup
+    # decay at the first milestone (3 epochs)
+    assert float(sched(3 * 10000 + 1)) < lr_end_warmup

@@ -15,12 +15,15 @@ constant in L, S and batch (the bs>1 path vmaps into the grid).
 
 - `_stats_kernel`: online max/sum of exp per row. Called twice (once
   transposed) for row and column stats.
-- `_argmax_kernel`: recomputes sim tiles, forms
-  conf = exp(s - rmax)/rsum * exp(s - cmax)/csum and tracks the per-row
-  best column/value. Called twice for the mutual check.
+- `_argmax_kernel`: recomputes sim tiles and maximizes conf IN THE LOG
+  DOMAIN: log conf_ij = 2*s_ij - rowterm_i - colterm_j with
+  rowterm = rmax + log rsum (resp. colterm) — the row term is constant per
+  row, so the sweep is a biased-sim max/argmax with NO transcendentals
+  (the winner's conf value is exponentiated once outside). Called twice
+  for the mutual check.
 
-Cost: 4 MXU sweeps of L*S*C MACs, zero conf-matrix HBM traffic.
-Interpret mode keeps CPU tests exact.
+Cost: 4 MXU sweeps of L*S*C MACs, zero conf-matrix HBM traffic, exp only
+in the two stats sweeps. Interpret mode keeps CPU tests exact.
 """
 
 from __future__ import annotations
@@ -60,26 +63,26 @@ def _stats_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, max_ref, sum_ref):
     max_ref[:] = m_new
 
 
-def _argmax_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, rmax_ref, rsum_ref,
-                   cmax_ref, csum_ref, best_ref, conf_ref, *, block_s: int):
-    """Grid (i, j): tracks per-row best column/value of conf."""
+def _argmax_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, colterm_ref,
+                   best_ref, val_ref, *, block_s: int):
+    """Grid (i, j): per-row max/argmax of (2*sim - colterm_j) — the
+    log-domain conf up to the row-constant term. No transcendentals."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         best_ref[:] = jnp.zeros_like(best_ref)
-        conf_ref[:] = jnp.full_like(conf_ref, -1.0)
+        val_ref[:] = jnp.full_like(val_ref, NEG)
 
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32) * inv_t_ref[0]
-    sim = jnp.where(mask1_ref[:] > 0, sim, NEG)
-    conf = (jnp.exp(sim - rmax_ref[:]) / rsum_ref[:]
-            * jnp.exp(sim - cmax_ref[:]) / csum_ref[:])
-    tile_v = jnp.max(conf, axis=1, keepdims=True)
-    tile_j = (jnp.argmax(conf, axis=1).astype(jnp.int32)[:, None]
+    biased = 2.0 * sim - colterm_ref[:]
+    biased = jnp.where(mask1_ref[:] > 0, biased, NEG)
+    tile_v = jnp.max(biased, axis=1, keepdims=True)
+    tile_j = (jnp.argmax(biased, axis=1).astype(jnp.int32)[:, None]
               + j * block_s)
-    upd = tile_v > conf_ref[:]
-    conf_ref[:] = jnp.where(upd, tile_v, conf_ref[:])
+    upd = tile_v > val_ref[:]
+    val_ref[:] = jnp.where(upd, tile_v, val_ref[:])
     best_ref[:] = jnp.where(upd, tile_j, best_ref[:])
 
 
@@ -117,9 +120,8 @@ def _stats(f0, f1, inv_t, mask1, block_l=256, block_s=256):
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "block_s"))
-def _argmax(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row,
-            block_l=256, block_s=256):
-    """cmax_row/csum_row: (1, S) row-vector layouts of the column stats."""
+def _argmax(f0, f1, inv_t, mask1, colterm_row, block_l=256, block_s=256):
+    """colterm_row: (1, S) = cmax + log(csum) per column (0 where masked)."""
     L, C = f0.shape
     S = f1.shape[0]
     grid = (L // block_l, S // block_s)
@@ -134,12 +136,6 @@ def _argmax(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_s), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -152,7 +148,7 @@ def _argmax(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row,
         out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.int32),
                    jax.ShapeDtypeStruct((L, 1), jnp.float32)],
         interpret=_interpret(),
-    )(f0, f1, inv_t, mask1, rmax, rsum, cmax_row, csum_row)
+    )(f0, f1, inv_t, mask1, colterm_row)
 
 
 def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
@@ -185,13 +181,15 @@ def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
 
     rmax, rsum = _stats(f0p, f1p, inv_t, m1p, block, block)
     cmax, csum = _stats(f1p, f0p, inv_t, m0p, block, block)
-    jbest, conf_r = _argmax(f0p, f1p, inv_t, m1p, rmax, rsum,
-                            cmax.T, csum.T, block, block)
-    ibest, _ = _argmax(f1p, f0p, inv_t, m0p, cmax, csum,
-                       rmax.T, rsum.T, block, block)
+    # log-domain terms; masked slots get 0 (their sim is NEG in the sweep)
+    rowterm = jnp.where(m0p.T > 0, rmax + jnp.log(rsum), 0.0)   # (Lp, 1)
+    colterm = jnp.where(m1p.T > 0, cmax + jnp.log(csum), 0.0)   # (Sp, 1)
+    jbest, vbest = _argmax(f0p, f1p, inv_t, m1p, colterm.T, block, block)
+    ibest, _ = _argmax(f1p, f0p, inv_t, m0p, rowterm.T, block, block)
 
     jbest = jbest[:L, 0]
-    conf_r = conf_r[:L, 0]
+    # conf of the winner: exp once, outside the sweeps
+    conf_r = jnp.exp(vbest[:L, 0] - rowterm[:L, 0])
     ibest = ibest[:S, 0]
     mutual = jnp.take(ibest, jnp.clip(jbest, 0, S - 1)) == jnp.arange(L)
     valid_rows = (m0 > 0) if mask0 is not None else jnp.ones(L, bool)

@@ -59,17 +59,23 @@ def sample_nhwc(img: jax.Array, coords: jax.Array,
 
 def local_correlation(x: jax.Array, y: jax.Array, radius: int,
                       flow: jax.Array | None = None,
-                      chunk: int = 25) -> jax.Array:
+                      chunk: int | None = None,
+                      mem_budget_bytes: int = 300_000_000) -> jax.Array:
     """(2r+1)^2 window correlation (ref local_correlation.py:5-41).
 
     x, y: (B, H, W, C); flow: (B, H, W, 2) normalized sample centers in y
     (identity grid if None). Returns (B, H, W, (2r+1)^2) in the reference's
-    (dy-major) window order. Computed in chunks of window offsets to bound
-    the transient gather to (B, H, W, chunk, C).
+    (dy-major) window order. Computed in lax.map-serialized chunks of window
+    offsets sized so each (B, H, W, chunk, C) gather stays under
+    `mem_budget_bytes` (grid_sample holds ~4 corner temps of that size —
+    unbounded chunks OOM at DKM's 1152x1536 upsample pass).
     """
     B, H, W, C = x.shape
     r = radius
     K = 2 * r + 1
+    if chunk is None:
+        per_offset = B * H * W * C * 4
+        chunk = max(1, min(K * K, mem_budget_bytes // max(per_offset, 1)))
     if flow is None:
         flow = coords_grid(B, H, W)
     wy = jnp.linspace(-2 * r / H, 2 * r / H, K)
@@ -78,14 +84,21 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     offsets = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (K2, 2)
 
     K2 = K * K
-    outs = []
     scale = 1.0 / math.sqrt(C)
-    for s in range(0, K2, chunk):
-        off = offsets[s:s + chunk]                       # (k, 2)
+    nc = -(-K2 // chunk)
+    pad = nc * chunk - K2
+    offs = jnp.pad(offsets, ((0, pad), (0, 0))).reshape(nc, chunk, 2)
+
+    def one_chunk(off):
+        # lax.map serializes chunks — an unrolled loop lets XLA schedule all
+        # (B, H, W, chunk, C) gathers concurrently and OOMs at high res
         pts = flow[:, :, :, None, :] + off[None, None, None]
         feats = sample_nhwc(y, pts)                      # (B, H, W, k, C)
-        outs.append(jnp.einsum("bhwc,bhwkc->bhwk", x, feats) * scale)
-    return jnp.concatenate(outs, axis=-1)
+        return jnp.einsum("bhwc,bhwkc->bhwk", x, feats) * scale
+
+    out = jax.lax.map(one_chunk, offs)                   # (nc, B, H, W, k)
+    out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:3], nc * chunk)
+    return out[..., :K2]
 
 
 def kde_density(x: jax.Array, std: float = 0.1, chunk: int = 4096) -> jax.Array:

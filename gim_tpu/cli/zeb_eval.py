@@ -17,12 +17,14 @@ import time
 import numpy as np
 
 
-def build_matcher(weight: str, ckpt: str | None, img_size: int):
+def build_matcher(weight: str, ckpt: str | None, img_size: int,
+                  dtype: str = "float32"):
     """Returns match(batch)->MatchResult."""
     import jax
     import jax.numpy as jnp
 
     from gim_tpu.api import Matcher, MatchResult
+    from gim_tpu.config import GimConfig, replace as cfg_replace
 
     if weight == "root_sift":
         from gim_tpu.models.root_sift import (detect_rootsift, match_rootsift,
@@ -61,12 +63,17 @@ def build_matcher(weight: str, ckpt: str | None, img_size: int):
 
         return match
 
+    cfg = GimConfig()
+    if dtype != "float32":
+        for head in ("loftr", "dkm", "roma"):
+            cfg = cfg_replace(cfg, **{head: cfg_replace(getattr(cfg, head),
+                                                        dtype=dtype)})
     if ckpt:
-        matcher = Matcher.from_checkpoint(weight, ckpt)
+        matcher = Matcher.from_checkpoint(weight, ckpt, cfg)
     else:
         print(f"[zeb_eval] WARNING: no --ckpt; {weight} runs with random "
               "weights (harness validation only)")
-        matcher = Matcher(weight)
+        matcher = Matcher(weight, cfg)
 
     def match(batch):
         return matcher.match(
@@ -92,6 +99,8 @@ def main(argv=None):
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--out_dir", default="dump/zeb")
     p.add_argument("--padding", action="store_true", default=True)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic two-plane benchmark first")
     args = p.parse_args(argv)
@@ -116,7 +125,7 @@ def main(argv=None):
         raise SystemExit(f"no pairs found under {args.data_root}/zeb")
     print(f"[zeb_eval] {len(pairs)} pairs, img_size {img_size}")
 
-    match = build_matcher(args.weight, args.ckpt, img_size)
+    match = build_matcher(args.weight, args.ckpt, img_size, args.dtype)
 
     def batches():
         B = args.batch_size

@@ -88,6 +88,7 @@ class DKMConfig:
     sample_thresh: float = 0.05
     num_samples: int = 5000
     sample_mode: str = "threshold_balanced"
+    dtype: str = "float32"   # conv/refiner compute dtype (GP/flow stay f32)
 
 
 @dataclass(frozen=True)
@@ -104,6 +105,7 @@ class RoMaConfig:
     upsample_preds: bool = True
     symmetric: bool = True
     attenuate_cert: bool = True
+    dtype: str = "float32"   # conv/ViT compute dtype (GP/flow stay f32)
 
 
 @dataclass(frozen=True)

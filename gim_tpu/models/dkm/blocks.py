@@ -153,6 +153,9 @@ class GP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """x, y: (B, H, W, C) projected features. Returns (B, H, W, gp_dim)."""
+        # GP solve is geometry-bearing: always f32 (SURVEY §7 hard part (c))
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
         B, H, W, C = y.shape
         pos_conv = nn.Conv(self.gp_dim, (1, 1), name="pos_conv")
         coords = coords_grid(B, H, W)
@@ -177,15 +180,19 @@ class RRB(nn.Module):
 
     out_dim: int
     train: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_dim, (1, 1), name="conv1")(x)
-        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", name="conv2")(x)
+        dt = self.dtype
+        x = nn.Conv(self.out_dim, (1, 1), dtype=dt, name="conv1")(x)
+        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=dt,
+                      name="conv2")(x)
         res = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
-                           epsilon=1e-5, name="bn")(res)
+                           epsilon=1e-5, dtype=dt, name="bn")(res)
         res = nn.relu(res)
-        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", name="conv3")(res)
+        res = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=dt,
+                      name="conv3")(res)
         return nn.relu(x + res)
 
 
@@ -193,14 +200,15 @@ class CAB(nn.Module):
     """Channel attention block over [high, low] pair (ref dkm.py:147-170)."""
 
     out_dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x1, x2):
         x = jnp.concatenate([x1, x2], axis=-1)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.out_dim, (1, 1), name="conv1")(g)
+        g = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="conv1")(g)
         g = nn.relu(g)
-        g = nn.Conv(self.out_dim, (1, 1), name="conv2")(g)
+        g = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="conv2")(g)
         g = jax.nn.sigmoid(g)
         return g * x2 + x1
 
@@ -213,15 +221,23 @@ class DFNScale(nn.Module):
     feat_dim: int = 256
     internal_dim: int = 384
     train: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, embeddings, feats, context):
-        feats = nn.Conv(self.feat_dim, (1, 1), name="feat_input")(feats)
-        emb = jnp.concatenate([feats, embeddings], axis=-1)
-        emb = RRB(self.internal_dim, self.train, name="rrb_d")(emb)
-        context = CAB(self.internal_dim, name="cab")(context, emb)
-        context = RRB(self.internal_dim, self.train, name="rrb_u")(context)
-        preds = nn.Conv(3, (1, 1), name="terminal")(context)
+        dt = self.dtype
+        feats = nn.Conv(self.feat_dim, (1, 1), dtype=dt,
+                        name="feat_input")(feats)
+        emb = jnp.concatenate([feats, embeddings.astype(feats.dtype)],
+                              axis=-1)
+        emb = RRB(self.internal_dim, self.train, dt, name="rrb_d")(emb)
+        context = CAB(self.internal_dim, dt, name="cab")(
+            context.astype(emb.dtype), emb)
+        context = RRB(self.internal_dim, self.train, dt,
+                      name="rrb_u")(context)
+        preds = nn.Conv(3, (1, 1), dtype=dt, name="terminal")(context)
+        # flow/certainty leave in f32 (geometry-bearing quantities)
+        preds = preds.astype(jnp.float32)
         pred_coord = preds[..., -2:]
         pred_certainty = preds[..., :-2]
         return pred_coord, pred_certainty, context
@@ -243,16 +259,18 @@ class ConvRefiner(nn.Module):
     train: bool = False
     disp_first: bool = False     # RoMa: out = [dx, dy, cert]; DKM: [cert, dx, dy]
     concat_logits: bool = False
+    dtype: str = "float32"
 
     def block(self, x, out_dim, name):
         groups = x.shape[-1] if self.dw else 1
         k = self.kernel_size
-        x = nn.Conv(out_dim, (k, k), padding="SAME",
+        x = nn.Conv(out_dim, (k, k), padding="SAME", dtype=self.dtype,
                     feature_group_count=groups, name=f"{name}_conv1")(x)
         x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
-                         epsilon=1e-5, name=f"{name}_bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")(x)
         x = nn.relu(x)
-        return nn.Conv(out_dim, (1, 1), name=f"{name}_conv2")(x)
+        return nn.Conv(out_dim, (1, 1), dtype=self.dtype,
+                       name=f"{name}_conv2")(x)
 
     @nn.compact
     def __call__(self, x, y, flow, logits=None, emb_scale: float = 1.0):
@@ -277,11 +295,13 @@ class ConvRefiner(nn.Module):
                 parts = [x, x_hat, emb, corr]
         if self.concat_logits:
             parts.append(logits)
+        parts = [p.astype(self.dtype) for p in parts]
         d = jnp.concatenate(parts, axis=-1)
         d = self.block(d, self.hidden_dim, "block1")
         for i in range(self.hidden_blocks):
             d = self.block(d, self.hidden_dim, f"hidden_{i}")
-        d = nn.Conv(3, (1, 1), name="out_conv")(d)
+        d = nn.Conv(3, (1, 1), dtype=self.dtype, name="out_conv")(d)
+        d = d.astype(jnp.float32)  # flow/certainty stay f32
         if self.disp_first:
             return d[..., -1:], d[..., :-1]
         return d[..., :-2], d[..., -2:]

@@ -52,7 +52,8 @@ class DKMDecoder(nn.Module):
         B = f1[1].shape[0]
         coarsest = int(scales[0])
 
-        old_stuff = jnp.zeros((B, *sizes[coarsest], c.dfn_dim))
+        old_stuff = jnp.zeros((B, *sizes[coarsest], c.dfn_dim),
+                              dtype=c.dtype)
         if not upsample:
             dense_flow = coords_grid(B, *sizes[coarsest])
             dense_certainty = jnp.zeros((B, *sizes[coarsest], 1))
@@ -65,19 +66,19 @@ class DKMDecoder(nn.Module):
             ins = int(s)
             f1_s, f2_s = f1[ins], f2[ins]
             if s in ("16", "32"):
-                proj = nn.Conv(512, (1, 1), name=f"proj_{s}")
+                proj = nn.Conv(512, (1, 1), dtype=c.dtype, name=f"proj_{s}")
                 f1_s, f2_s = proj(f1_s), proj(f2_s)
             if ins in (32, 16) and not upsample:
                 old_stuff = resize_nhwc(old_stuff, *sizes[ins])
                 new_stuff = GP(c.gp_dim, name=f"gp_{s}")(f1_s, f2_s)
                 dense_flow, dense_certainty, old_stuff = DFNScale(
-                    c.feat_dim, c.dfn_dim, self.train,
+                    c.feat_dim, c.dfn_dim, self.train, c.dtype,
                     name=f"dfn_{s}")(new_stuff, f1_s, old_stuff)
             if s in REFINER_SPECS and (ins <= 16):
                 in_dim, hid, emb, rad = REFINER_SPECS[s]
                 delta_cert, disp = ConvRefiner(
                     in_dim, hid, displacement_emb_dim=emb,
-                    local_corr_radius=rad, train=self.train,
+                    local_corr_radius=rad, train=self.train, dtype=c.dtype,
                     name=f"refiner_{s}")(f1_s, f2_s, dense_flow)
                 dense_flow = jnp.stack([
                     dense_flow[..., 0] + ins * disp[..., 0] / (4 * W),
@@ -102,7 +103,8 @@ class DKMMatcher(nn.Module):
     train: bool = False
 
     def setup(self):
-        self.encoder = ResNet50Pyramid(train=False, name="encoder")
+        self.encoder = ResNet50Pyramid(train=False, dtype=self.cfg.dtype,
+                                       name="encoder")
         self.decoder = DKMDecoder(self.cfg, self.train, name="decoder")
 
     def pyramid(self, x):

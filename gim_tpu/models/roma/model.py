@@ -44,9 +44,11 @@ class VGG19(nn.Module):
     Returns features captured right BEFORE each maxpool: scales 1,2,4,8."""
 
     train: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         # vgg19_bn configuration up to index 39: 64x2 M 128x2 M 256x4 M 512x4
         cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
                512, 512, 512, 512]
@@ -59,9 +61,10 @@ class VGG19(nn.Module):
                 scale *= 2
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(v, (3, 3), padding="SAME", name=f"conv_{i}")(x)
+                x = nn.Conv(v, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"conv_{i}")(x)
                 x = nn.BatchNorm(use_running_average=not self.train,
-                                 momentum=0.9, epsilon=1e-5,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                  name=f"bn_{i}")(x)
                 x = nn.relu(x)
                 i += 1
@@ -139,9 +142,10 @@ class RoMaDecoder(nn.Module):
             ins = int(s)
             f1_s, f2_s = f1[ins], f2[ins]
             cin, cout = PROJ_SPECS[s]
-            proj_conv = nn.Conv(cout, (1, 1), name=f"proj_{s}_conv")
+            proj_conv = nn.Conv(cout, (1, 1), dtype=c.dtype,
+                                name=f"proj_{s}_conv")
             proj_bn = nn.BatchNorm(use_running_average=not self.train,
-                                   momentum=0.9, epsilon=1e-5,
+                                   momentum=0.9, epsilon=1e-5, dtype=c.dtype,
                                    name=f"proj_{s}_bn")
             f1_s = proj_bn(proj_conv(f1_s))
             f2_s = proj_bn(proj_conv(f2_s))
@@ -161,7 +165,7 @@ class RoMaDecoder(nn.Module):
             delta_cert, disp = ConvRefiner(
                 in_dim, hid, displacement_emb_dim=emb,
                 local_corr_radius=rad, train=self.train, disp_first=True,
-                name=f"refiner_{s}")(
+                dtype=c.dtype, name=f"refiner_{s}")(
                     f1_s, f2_s, flow,
                     emb_scale=40.0 / 32.0 * scale_factor)
             displacement = jnp.stack([
@@ -187,7 +191,7 @@ class RoMaMatcher(nn.Module):
     train: bool = False
 
     def setup(self):
-        self.vgg = VGG19(train=False, name="vgg")
+        self.vgg = VGG19(train=False, dtype=self.cfg.dtype, name="vgg")
         self.dino = DinoViT(name="dino")
         self.decoder = RoMaDecoder(self.cfg, self.train, name="decoder")
 

@@ -140,23 +140,41 @@ def match_fn(name: str, cfg: C.GimConfig, variables, image0, image1,
         return MatchResult(out["mkpts0_f"], out["mkpts1_f"], out["mconf"],
                            out["valid"])
     if name == "gim_dkm":
-        return _match_dkm(cfg, variables, image0, image1, scale0, scale1)
+        return _match_dkm(cfg, variables, image0, image1, scale0, scale1,
+                          mask0, mask1)
     if name == "gim_roma":
-        return _match_roma(cfg, variables, image0, image1, scale0, scale1)
+        return _match_roma(cfg, variables, image0, image1, scale0, scale1,
+                           mask0, mask1)
     raise NotImplementedError(name)
 
 
+def _mask_extent(mask, B, H, W):
+    """(B, 2) (w_frac, h_frac) valid-content fraction of each canvas."""
+    if mask is None:
+        return None
+    h = mask.sum(1).max(-1).astype(jnp.float32)
+    w = mask.sum(2).max(-1).astype(jnp.float32)
+    return jnp.stack([w / W, h / H], axis=-1)
+
+
 def _match_roma(cfg: C.GimConfig, variables, image0, image1,
-                scale0, scale1) -> MatchResult:
+                scale0, scale1, mask0=None, mask1=None) -> MatchResult:
     """RoMa dense warp -> balanced sampling -> original-frame keypoints.
-    Square canvases map directly onto RoMa's square model resolution
-    (ref roma.py:1124: img_size [672]), so no extra aspect padding."""
+
+    With `distort_aspect` (the reference ZEB protocol,
+    ref trainer/lightning.py:134-156) the valid canvas rectangle is
+    resampled straight to RoMa's square model resolution and the normalized
+    output coords map back to the rectangle; otherwise the full square
+    canvas is used (demo-style)."""
     from gim_tpu.models.roma.model import RoMaMatcher
     from gim_tpu.models.dkm.model import sample_matches
 
     c = cfg.roma
     B, _, S, _ = image0.shape
-    warp, cert = RoMaMatcher(c).apply(variables, image0, image1)
+    distort = c.distort_aspect and mask0 is not None
+    e0 = _mask_extent(mask0, B, S, S) if distort else None
+    e1 = _mask_extent(mask1, B, S, S) if distort else None
+    warp, cert = RoMaMatcher(c).apply(variables, image0, image1, e0, e1)
 
     def per_pair(w_b, c_b, key):
         return sample_matches(key, w_b, c_b, c.num_samples, c.sample_thresh,
@@ -165,10 +183,13 @@ def _match_roma(cfg: C.GimConfig, variables, image0, image1,
     keys = jax.random.split(jax.random.PRNGKey(11), B)
     matches, conf, valid = jax.vmap(per_pair)(warp, cert, keys)
 
-    k0 = jnp.stack([S * (matches[..., 0] + 1) / 2,
-                    S * (matches[..., 1] + 1) / 2], axis=-1)
-    k1 = jnp.stack([S * (matches[..., 2] + 1) / 2,
-                    S * (matches[..., 3] + 1) / 2], axis=-1)
+    if distort:
+        wh0 = e0[:, None, :] * S        # (B, 1, 2) valid rect (w, h)
+        wh1 = e1[:, None, :] * S
+    else:
+        wh0 = wh1 = jnp.full((B, 1, 2), float(S))
+    k0 = wh0 * (matches[..., 0:2] + 1) / 2
+    k1 = wh1 * (matches[..., 2:4] + 1) / 2
     k0 = k0 * scale0[:, None, :]
     k1 = k1 * scale1[:, None, :]
     valid = valid & (conf > 0)
@@ -176,27 +197,35 @@ def _match_roma(cfg: C.GimConfig, variables, image0, image1,
 
 
 def _match_dkm(cfg: C.GimConfig, variables, image0, image1,
-               scale0, scale1) -> MatchResult:
+               scale0, scale1, mask0=None, mask1=None) -> MatchResult:
     """Dense warp -> balanced sampling -> original-frame keypoints.
 
-    The reference eval feeds the resized rectangle directly (aspect
-    distortion, trainer/lightning.py:134-156); for static TPU shapes we
-    right/bottom-pad the square canvas to the model's w:h aspect so the
-    internal resize is uniform (the demo's aspect-pad approach,
-    ref demo.py:420-428)."""
+    With `distort_aspect` (the reference ZEB protocol: feed the resized
+    rectangle straight into match(), whose internal resize to
+    (h_resized, w_resized) distorts the aspect ratio —
+    ref trainer/lightning.py:134-156, dkm.py:668-671) the valid canvas
+    region is resampled to the model resolution via per-image extents;
+    otherwise we right-pad the square canvas to the model's w:h aspect
+    (the demo's aspect-pad approach, ref demo.py:420-428)."""
     from gim_tpu.models.dkm.model import DKMMatcher, sample_matches
 
     c = cfg.dkm
     B, _, S, _ = image0.shape
-    # pad square canvas -> model aspect (w/h), content stays top-left
-    target_w = int(round(S * c.w_resized / c.h_resized))
-    pad_w = max(target_w - S, 0)
-    im0 = jnp.pad(image0, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
-    im1 = jnp.pad(image1, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+    distort = c.distort_aspect and mask0 is not None
+    if distort:
+        e0 = _mask_extent(mask0, B, S, S)
+        e1 = _mask_extent(mask1, B, S, S)
+        im0, im1 = image0, image1
+        pad_w = 0
+    else:
+        e0 = e1 = None
+        # pad square canvas -> model aspect (w/h), content stays top-left
+        target_w = int(round(S * c.w_resized / c.h_resized))
+        pad_w = max(target_w - S, 0)
+        im0 = jnp.pad(image0, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+        im1 = jnp.pad(image1, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
 
-    warp, cert = DKMMatcher(c).apply(variables, im0, im1)
-    hs, ws2 = cert.shape[1:]
-    ws = ws2 // 2
+    warp, cert = DKMMatcher(c).apply(variables, im0, im1, e0, e1)
 
     def per_pair(w_b, c_b, key):
         return sample_matches(key, w_b, c_b, c.num_samples, c.sample_thresh,
@@ -205,12 +234,14 @@ def _match_dkm(cfg: C.GimConfig, variables, image0, image1,
     keys = jax.random.split(jax.random.PRNGKey(7), B)
     matches, conf, valid = jax.vmap(per_pair)(warp, cert, keys)
 
-    canvas_w = float(S + pad_w)
-    canvas_h = float(S)
-    k0 = jnp.stack([canvas_w * (matches[..., 0] + 1) / 2,
-                    canvas_h * (matches[..., 1] + 1) / 2], axis=-1)
-    k1 = jnp.stack([canvas_w * (matches[..., 2] + 1) / 2,
-                    canvas_h * (matches[..., 3] + 1) / 2], axis=-1)
+    if distort:
+        wh0 = e0[:, None, :] * S        # (B, 1, 2) valid rect (w, h)
+        wh1 = e1[:, None, :] * S
+    else:
+        wh0 = wh1 = jnp.tile(
+            jnp.array([[[float(S + pad_w), float(S)]]]), (B, 1, 1))
+    k0 = wh0 * (matches[..., 0:2] + 1) / 2
+    k1 = wh1 * (matches[..., 2:4] + 1) / 2
     k0 = k0 * scale0[:, None, :]
     k1 = k1 * scale1[:, None, :]
     valid = valid & (conf > 0)

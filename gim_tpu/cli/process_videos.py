@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--labels_root", default="data/walk_labels")
     p.add_argument("--methods", nargs="+", default=list(DEFAULT_METHODS))
     p.add_argument("--img_sizes", type=int, nargs="+", default=[840])
+    p.add_argument("--no_resize_round", action="store_true",
+                   help="drop the resize=T half of the 24-task matrix "
+                        "(ref process_videos.sh:108-124)")
     p.add_argument("--ckpts", nargs="+", default=[],
                    help="method=path entries, e.g. gim_loftr=weights/x.ckpt")
     p.add_argument("--max_pairs", type=int, default=None)
@@ -47,14 +50,22 @@ def main(argv=None):
         path = join(args.video_dir, vid)
         fps = VideoStreamer(path).fps
         skips = HIGH_FPS_SKIPS if fps > 30 else LOW_FPS_SKIPS
-        tasks = list(itertools.product(args.methods, skips, args.img_sizes))
+        resizes = (False,) if args.no_resize_round else (False, True)
+        # full reference matrix: methods x skips x resize = 24 tasks/video
+        # (ref process_videos.sh:108-124). All resize=False tasks run
+        # first — the resize round crops around the gim_dkm rF matches
+        # (ref video_preprocessor.py:206-212).
+        tasks = [(m, s, r) for r in resizes
+                 for m, s in itertools.product(args.methods, skips)]
         print(f"[scheduler] {vid}: fps {fps:.0f}, {len(tasks)} tasks")
-        for method, skip, img_size in tasks:
+        for method, skip, resize in tasks:
             try:
-                process_video(path, args.labels_root, method, skip, img_size,
-                              ckpts.get(method), max_pairs=args.max_pairs)
+                process_video(path, args.labels_root, method, skip,
+                              args.img_sizes[0], ckpts.get(method),
+                              max_pairs=args.max_pairs, resize=resize)
             except Exception as e:  # resumable: log and continue the matrix
-                print(f"[scheduler] task ({vid},{method},{skip}) failed: {e}")
+                print(f"[scheduler] task ({vid},{method},{skip},"
+                      f"r{resize}) failed: {e}")
 
 
 if __name__ == "__main__":

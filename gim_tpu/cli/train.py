@@ -1,12 +1,15 @@
-"""Training CLI (gim_loftr on WALK pseudo-labels).
+"""Training CLI (all four heads on WALK pseudo-labels).
 
 Reference surface: the train-gim-* branches' `python train.py --weight
-gim_loftr --maxlen ... --img_size 840 --batch_size 1 --lr 1e-3`
-(ref README.md:220-233, test.py arg surface, SURVEY §3.3). The TPU-native
+gim_{loftr,lightglue,dkm,roma} --maxlen ... --img_size 840 --batch_size 1`
+(ref README.md:220-246, test.py arg surface, SURVEY §3.3). The TPU-native
 loop is pjit data-parallel over the mesh's `data` axis with the reference's
 LR scaling rule / warmup / MultiStep decay / grad clip (trainer/config.py)
 and orbax checkpointing (the reference disables PL checkpointing at eval,
 test.py:202; training keeps the standard ckpt/resume contract).
+
+Per-head configs mirror the README training recipes: loftr 840px,
+lightglue 1024px, dkm 896x672, roma 672px (ref README.md:220-246).
 """
 
 from __future__ import annotations
@@ -18,15 +21,19 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--weight", default="gim_loftr", choices=["gim_loftr"])
+    p.add_argument("--weight", default="gim_loftr",
+                   choices=["gim_loftr", "gim_lightglue", "gim_dkm",
+                            "gim_roma"])
     p.add_argument("--labels_root", required=True,
                    help="propagated pseudo-label root (see datasets.walk)")
     p.add_argument("--video", required=True, help="source video (frames)")
-    p.add_argument("--img_size", type=int, default=840)
+    p.add_argument("--img_size", type=int, default=None,
+                   help="default per head: loftr 840, lightglue 1024, "
+                        "dkm 672, roma 672 (ref README.md:220-246)")
     p.add_argument("--batch_size", type=int, default=1, help="per device")
     p.add_argument("--max_steps", type=int, default=1000)
     p.add_argument("--max_labels", type=int, default=20000)
-    p.add_argument("--ckpt_dir", default="checkpoints/gim_loftr")
+    p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--log_interval", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -39,13 +46,46 @@ def main(argv=None):
     from gim_tpu.config import GimConfig, LoFTRConfig, replace
     from gim_tpu.data.video import FrameCache
     from gim_tpu.data.walk import WalkDataset
-    from gim_tpu.models.loftr import init_params
     from gim_tpu.parallel.mesh import make_mesh
     from gim_tpu.train.loop import loftr_train_step, make_optimizer
 
     n_dev = len(jax.devices())
     mesh = make_mesh(data_axis=n_dev, model_axis=1)
+
+    default_sizes = {"gim_loftr": 840, "gim_lightglue": 1024,
+                     "gim_dkm": 672, "gim_roma": 672}
+    args.img_size = args.img_size or default_sizes[args.weight]
+    args.ckpt_dir = args.ckpt_dir or f"checkpoints/{args.weight}"
+
     cfg = GimConfig(loftr=LoFTRConfig(max_matches=1024))
+    if args.weight == "gim_loftr":
+        from gim_tpu.models.loftr import init_params
+
+        init = lambda k: init_params(k, cfg.loftr,
+                                     (args.img_size, args.img_size))
+        step_fn = loftr_train_step
+    elif args.weight == "gim_lightglue":
+        from gim_tpu.api import Matcher
+        from gim_tpu.train.lightglue_loop import lightglue_train_step
+
+        init = lambda k: Matcher("gim_lightglue", cfg, rng=k).variables
+        step_fn = lightglue_train_step
+    elif args.weight == "gim_dkm":
+        from gim_tpu.models.dkm import init_params as dkm_init
+        from gim_tpu.train.dense_losses import dkm_train_step
+
+        # README.md:242: gim-dkm trains at 896x672 (w x h)
+        cfg = replace(cfg, dkm=replace(cfg.dkm, upsample_preds=False))
+        init = lambda k: dkm_init(k, cfg.dkm, input_hw=(args.img_size,
+                                                        args.img_size))
+        step_fn = dkm_train_step
+    else:  # gim_roma
+        from gim_tpu.models.roma import init_params as roma_init
+        from gim_tpu.train.dense_losses import roma_train_step
+
+        cfg = replace(cfg, roma=replace(cfg.roma, upsample_preds=False))
+        init = lambda k: roma_init(k, cfg.roma)
+        step_fn = roma_train_step
 
     cache = FrameCache(args.video, os.path.join(args.labels_root, "_frames"))
     ds = WalkDataset(cache.frame, args.labels_root, args.img_size,
@@ -53,13 +93,15 @@ def main(argv=None):
     if len(ds) == 0:
         raise SystemExit("no propagated labels found; run "
                          "gim_tpu.cli.video_preprocessor + propagate first")
-    print(f"[train] {len(ds)} training pairs, {n_dev} devices")
+    print(f"[train] {args.weight}: {len(ds)} training pairs, "
+          f"{n_dev} devices")
 
-    variables = init_params(jax.random.PRNGKey(cfg.trainer.seed), cfg.loftr,
-                            (args.img_size, args.img_size))
+    variables = init(jax.random.PRNGKey(cfg.trainer.seed))
     tx = make_optimizer(cfg.trainer, n_dev, args.batch_size,
                         steps_per_epoch=max(len(ds), 1))
-    opt_state = tx.init(variables["params"])
+    opt_target = (variables["lightglue"] if args.weight == "gim_lightglue"
+                  else variables["params"])
+    opt_state = tx.init(opt_target)
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
@@ -100,13 +142,16 @@ def main(argv=None):
     with mesh:
         for step in range(start, args.max_steps):
             batch = jax.device_put(make_batch(), data_sh)
-            variables, opt_state, logs = loftr_train_step(
+            variables, opt_state, logs = step_fn(
                 cfg, tx, variables, opt_state, batch)
             if (step + 1) % args.log_interval == 0:
                 dt = time.time() - t0
-                print(f"[train] step {step + 1} loss {float(logs['loss']):.4f}"
-                      f" (coarse {float(logs['loss_c']):.4f} fine "
-                      f"{float(logs['loss_f']):.4f}) {dt:.1f}s", flush=True)
+                extra = " ".join(f"{k} {float(v):.4f}"
+                                 for k, v in sorted(logs.items())
+                                 if k != "loss")
+                print(f"[train] step {step + 1} loss "
+                      f"{float(logs['loss']):.4f} ({extra}) {dt:.1f}s",
+                      flush=True)
                 mgr.save(step + 1, args=ocp.args.StandardSave(
                     {"variables": variables, "opt_state": opt_state}))
     mgr.wait_until_finished()

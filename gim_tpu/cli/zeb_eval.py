@@ -68,6 +68,17 @@ def build_matcher(weight: str, ckpt: str | None, img_size: int,
         for head in ("loftr", "dkm", "roma"):
             cfg = cfg_replace(cfg, **{head: cfg_replace(getattr(cfg, head),
                                                         dtype=dtype)})
+    # the reference keeps ALL mutual matches above threshold; our static
+    # cap must scale with the coarse-cell count so KITTI-1240/ETH3D-1600
+    # runs don't truncate (VERDICT round-1 weak item 6). ~840px -> 4096,
+    # 1240 -> 8192, 1600 -> 16384.
+    cells = (img_size // 8) ** 2
+    cap = 4096
+    while cap < cells // 2 and cap < 16384:
+        cap *= 2
+    if cap != cfg.loftr.max_matches:
+        cfg = cfg_replace(cfg, loftr=cfg_replace(cfg.loftr,
+                                                 max_matches=cap))
     if ckpt:
         matcher = Matcher.from_checkpoint(weight, ckpt, cfg)
     else:
@@ -103,11 +114,24 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic two-plane benchmark first")
+    p.add_argument("--overwrite", action="store_true",
+                   help="re-run even if the dump file already exists")
     args = p.parse_args(argv)
 
     from gim_tpu.data import zeb as Z
     from gim_tpu.eval import zeb as E
     from gim_tpu.geometry.pose import error_auc_trapezoid
+
+    # skip-if-dump-exists (ref test.py:224-230)
+    import os
+
+    spec_early = Z.BENCHMARKS[args.tests]
+    existing = E.dump_path(args.out_dir, args.weight, spec_early.scene,
+                           args.version)
+    if os.path.exists(existing) and not args.overwrite:
+        print(f"[zeb_eval] {existing} exists; skipping "
+              "(pass --overwrite to re-run)")
+        return None
 
     if args.synthetic:
         import tempfile
@@ -123,7 +147,19 @@ def main(argv=None):
     pairs = Z.load_benchmark(args.data_root, args.tests, args.max_samples)
     if not pairs:
         raise SystemExit(f"no pairs found under {args.data_root}/zeb")
-    print(f"[zeb_eval] {len(pairs)} pairs, img_size {img_size}")
+
+    # multihost: shard the pair list by process (the DistributedSampler
+    # analog, SURVEY §2.8 row 1); padded duplicates at the tail are dropped
+    # by the identifier dedup after gather_rows_multihost.
+    import jax
+
+    n_proc, pid = jax.process_count(), jax.process_index()
+    if n_proc > 1:
+        per = -(-len(pairs) // n_proc)
+        padded = pairs + pairs[:per * n_proc - len(pairs)]
+        pairs = padded[pid::n_proc]
+    print(f"[zeb_eval] {len(pairs)} pairs (proc {pid}/{n_proc}), "
+          f"img_size {img_size}")
 
     match = build_matcher(args.weight, args.ckpt, img_size, args.dtype)
 
@@ -140,13 +176,15 @@ def main(argv=None):
     t0 = time.time()
     rows = E.evaluate(match, batches())
     dt = time.time() - t0
+    rows = E.gather_rows_multihost(rows)
     rows_u = E.dedup_rows(rows)
     print(f"[zeb_eval] {len(rows_u)} unique pairs in {dt:.1f}s "
           f"({len(rows_u) / dt:.2f} pairs/s)")
 
-    path = E.write_dump(rows, args.out_dir, args.weight, spec.scene,
-                        args.version)
-    print(f"[zeb_eval] wrote {path}")
+    if pid == 0:
+        path = E.write_dump(rows, args.out_dir, args.weight, spec.scene,
+                            args.version)
+        print(f"[zeb_eval] wrote {path}")
 
     aucs = error_auc_trapezoid([r["R_errs"] for r in rows_u],
                                [r["t_errs"] for r in rows_u], (5.0,))

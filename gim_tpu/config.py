@@ -60,7 +60,10 @@ class LoFTRConfig:
     layer_names_f: int = 1
     attention_f: str = "linear"
     fine_window_size: int = 5
-    fine_concat_coarse_feat: bool = True
+    # ref networks/loftr/config.py:14 — False for the gim_loftr config
+    # (test.py merges only TRAIN_COARSE_PERCENT on top of defaults); the
+    # original LoFTR outdoor_ds.ckpt used True but GIM's does not.
+    fine_concat_coarse_feat: bool = False
     # training (networks/loftr/config.py:49-68 + configs/outdoor)
     # TPU execution options
     dtype: str = "float32"        # model compute dtype ("bfloat16" for speed)
@@ -89,12 +92,19 @@ class DKMConfig:
     num_samples: int = 5000
     sample_mode: str = "threshold_balanced"
     dtype: str = "float32"   # conv/refiner compute dtype (GP/flow stay f32)
+    # Reference ZEB eval feeds the unpadded rectangle straight into
+    # match(), whose internal resize to (h_resized, w_resized) distorts the
+    # aspect ratio (ref trainer/lightning.py:134-156, dkm.py:668-671).
+    # True = reproduce that protocol (resample only the valid canvas
+    # region); False = demo-style aspect-pad (ref demo.py:420-428).
+    distort_aspect: bool = True
 
 
 @dataclass(frozen=True)
 class RoMaConfig:
     """ref networks/roma/roma.py:1124-1270."""
-    coarse_res: int = 560             # 14 * 40
+    coarse_res: int = 672             # 14 * 48 (ref trainer/lightning.py:41
+                                      # RoMa(img_size=[672]); demo.py:332)
     upsample_res: tuple[int, int] = (1344, 1344)
     decoder_dim: int = 1024
     cls_to_coord_res: int = 64
@@ -106,6 +116,10 @@ class RoMaConfig:
     symmetric: bool = True
     attenuate_cert: bool = True
     dtype: str = "float32"   # conv/ViT compute dtype (GP/flow stay f32)
+    # see DKMConfig.distort_aspect — RoMa eval shares the adapter
+    # (ref trainer/lightning.py:124-130) and distorts the rectangle to its
+    # square model resolution.
+    distort_aspect: bool = True
 
 
 @dataclass(frozen=True)

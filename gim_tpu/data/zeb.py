@@ -29,7 +29,16 @@ from gim_tpu.ops import image as I
 
 @dataclass(frozen=True)
 class ZebSpec:
-    """Per-benchmark differences (everything else is shared)."""
+    """Per-benchmark differences (everything else is shared).
+
+    `strip_ext` encodes which reference loaders run
+    `pair[i].rpartition('.')[0]` on the raw pair-file name before building
+    the image path: GL3D/BlendedMVS (ref datasets/gl3d/gl3d.py:58-62),
+    ETH3D (eth3d/eth3d.py:60-64) and KITTI (kitti/kitti.py:60-64) strip;
+    GTASfM/MultiFoV/ICLNUIM/SceneNet (gtasfm/gtasfm.py:60-64 and siblings)
+    and Robotcar (robotcar/robotcar.py:60-64) use the name verbatim —
+    their pair names carry no extension.
+    """
 
     key: str              # CLI/test.py benchmark key
     scene: str            # dump/analysis scene name (LIST_PATH stem)
@@ -37,19 +46,24 @@ class ZebSpec:
     name_fmt: str         # pair_names format ('{n}', '{n}.png', 'img/{n}.png', ...)
     max_samples: int
     img_size: int = 840   # reference default; KITTI 1240, ETH3D 1600
+    strip_ext: bool = False
 
 
 BENCHMARKS: dict[str, ZebSpec] = {
     # ref test.py:36-49 + datasets/*/__init__.py + TEST_GIM_*.sh sizes
-    "GL3D": ZebSpec("GL3D", "GL3D", "_", "{n}", 13),
-    "BlendedMVS": ZebSpec("BlendedMVS", "BlendedMVS", "_", "{n}", 64),
+    "GL3D": ZebSpec("GL3D", "GL3D", "_", "{n}", 13, strip_ext=True),
+    "BlendedMVS": ZebSpec("BlendedMVS", "BlendedMVS", "_", "{n}", 64,
+                          strip_ext=True),
     "GTASfM": ZebSpec("GTASfM", "GTA-SfM", "-", "{n}", 410),
     "MultiFoV": ZebSpec("MultiFoV", "Multi-FoV", "-", "img/{n}.png", 5000),
     "ICLNUIM": ZebSpec("ICLNUIM", "ICL-NUIM", "-", "{n}.jpg", 1250),
     "SceneNet": ZebSpec("SceneNet", "SceneNetRGBD", "-", "{n}.jpg", 30),
-    "ETH3DO": ZebSpec("ETH3DO", "ETH3DO", "-", "{n}.JPG", 10000, 1600),
-    "ETH3DI": ZebSpec("ETH3DI", "ETH3DI", "-", "{n}.JPG", 10000, 1600),
-    "KITTI": ZebSpec("KITTI", "KITTI", "-", "{n}.png", 685, 1240),
+    "ETH3DO": ZebSpec("ETH3DO", "ETH3DO", "-", "{n}.JPG", 10000, 1600,
+                      strip_ext=True),
+    "ETH3DI": ZebSpec("ETH3DI", "ETH3DI", "-", "{n}.JPG", 10000, 1600,
+                      strip_ext=True),
+    "KITTI": ZebSpec("KITTI", "KITTI", "-", "{n}.png", 685, 1240,
+                     strip_ext=True),
     "RobotcarNight": ZebSpec("RobotcarNight", "RobotcarNight", "_", "{n}", 500),
     "RobotcarSeason": ZebSpec("RobotcarSeason", "RobotcarSeason", "_", "{n}", 500),
     "RobotcarWeather": ZebSpec("RobotcarWeather", "RobotcarWeather", "_", "{n}", 500),
@@ -81,8 +95,11 @@ def load_pairs(data_root: str, seq: str, spec: ZebSpec) -> list[ZebPair]:
             lines.append([scene_id] + f.readline().strip().split())
     for pair in sorted(lines):
         scene_id = pair[0]
-        n0 = pair[1].rpartition(".")[0]
-        n1 = pair[2].rpartition(".")[0]
+        if spec.strip_ext:
+            n0 = pair[1].rpartition(".")[0]
+            n1 = pair[2].rpartition(".")[0]
+        else:
+            n0, n1 = pair[1], pair[2]
         name0 = spec.name_fmt.format(n=n0)
         name1 = spec.name_fmt.format(n=n1)
         pairs.append(ZebPair(
@@ -100,15 +117,22 @@ def load_pairs(data_root: str, seq: str, spec: ZebSpec) -> list[ZebPair]:
 
 def load_benchmark(data_root: str, key: str,
                    max_samples: int | None = None) -> list[ZebPair]:
-    """All pairs of a benchmark: every sequence dir listed under zeb/ whose
-    pair list the benchmark's LIST_PATH would name. Without the reference's
-    list files we take every sequence under `zeb/` (single-benchmark roots),
-    capped per-sequence at MAX_SAMPLES (ref datasets/*/__init__.py:51)."""
+    """All pairs of a benchmark. The reference selects exactly one sequence
+    directory per benchmark: `zeb/<benchmark.lower()>` (ref
+    datasets/data.py:173-175 `seq_names = [benchmark.lower()]` feeding
+    `join('zeb', seq_name)` in each loader). We do the same, falling back
+    to scanning every dir under `zeb/` for ad-hoc roots (synthetic
+    benchmarks). Pairs are capped per-sequence at MAX_SAMPLES (ref
+    datasets/*/__init__.py TESTS.MAX_SAMPLES)."""
     spec = BENCHMARKS[key]
     cap = max_samples or spec.max_samples
     out = []
     zeb_root = join(data_root, "zeb")
-    seqs = sorted(os.listdir(zeb_root)) if os.path.isdir(zeb_root) else []
+    canonical = key.lower()
+    if os.path.isdir(join(zeb_root, canonical)):
+        seqs = [canonical]
+    else:
+        seqs = sorted(os.listdir(zeb_root)) if os.path.isdir(zeb_root) else []
     for seq in seqs:
         pairs = load_pairs(data_root, seq, spec)
         out.extend(pairs[:cap])

@@ -28,18 +28,22 @@ from gim_tpu.geometry.pose import estimate_pose, relative_pose_error
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
 def pair_metrics(kpts0, kpts1, valid, K0, K1, T_0to1, key,
-                 thresh: float = 0.5, num_hypotheses: int = 2048):
+                 thresh: float = 0.5, num_hypotheses: int = 2048,
+                 conf=None):
     """All per-pair metrics on device. Args batched (B, ...). Returns dict
     of (B, ...) arrays: epi_errs, R_errs, t_errs, t_errs2, inliers."""
     E = essential_from_pose(T_0to1)
     epi = symmetric_epipolar_distance(kpts0, kpts1, E, K0, K1)
 
-    def one(k0, k1, v, k0m, k1m, kk):
-        out = estimate_pose(k0, k1, v, k0m, k1m, kk, thresh, num_hypotheses)
+    def one(k0, k1, v, k0m, k1m, kk, cf):
+        out = estimate_pose(k0, k1, v, k0m, k1m, kk, thresh, num_hypotheses,
+                            conf=cf)
         return out
 
     keys = jax.random.split(key, kpts0.shape[0])
-    pose = jax.vmap(one)(kpts0, kpts1, valid, K0, K1, keys)
+    if conf is None:
+        conf = jnp.ones(kpts0.shape[:2], jnp.float32)
+    pose = jax.vmap(one)(kpts0, kpts1, valid, K0, K1, keys, conf)
     t_err, r_err, t_err2 = relative_pose_error(T_0to1, pose["R"], pose["t"])
     r_err = jnp.where(pose["success"], r_err, jnp.inf)
     t_err = jnp.where(pose["success"], t_err, jnp.inf)
@@ -85,7 +89,7 @@ def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
         m = pair_metrics(res.kpts0, res.kpts1, res.valid,
                          jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]),
                          jnp.asarray(batch["T_0to1"]), sub,
-                         ransac_thresh, num_hypotheses)
+                         ransac_thresh, num_hypotheses, conf=res.conf)
         m = jax.device_get(m)
         valid = np.asarray(res.valid)
         B = valid.shape[0]

@@ -1,0 +1,398 @@
+"""Batched 5-point (Nister) minimal essential-matrix solver, TPU-native.
+
+The reference's eval-defining pose call is OpenCV's
+`cv2.findEssentialMat(..., RANSAC, 0.99999, thr)` — a 5-point Nister
+solver in native C++ (ref tools/metrics.py:88-98, test.py:51-59). An
+8-point minimal sample needs an all-inlier draw of 8 (p = w^8): at 30%
+inliers that's 6.6e-5 per hypothesis, so low-inlier ZEB scenes (NIG/SCE)
+silently fail. This module implements the genuine 5-point minimal solver
+so p = w^5 (0.24% at 30% — >99% success at 2048 hypotheses).
+
+Design (vectorized over an arbitrary batch of 5-point samples; everything
+static-shape, f32, MXU/VPU-friendly — no host sync, no per-sample loops):
+
+1. nullspace of the 5x9 epipolar constraint matrix via batched SVD
+   -> 4 basis matrices, E = x*E0 + y*E1 + z*E2 + E3.
+2. det(E) = 0 and 2*E*E^T*E - tr(E*E^T)*E = 0 expanded symbolically over
+   the 20-monomial basis of degree <= 3 in (x, y, z) using constant
+   one-hot multiplication tensors -> (10, 20) coefficient system.
+3. Gauss-Jordan elimination with partial pivoting (10 static steps)
+   -> [I | M]; Nister's z-elimination turns three row pairs into a 3x3
+   polynomial matrix B(z) whose determinant is a degree-10 polynomial.
+4. Real roots by deterministic global search: z = tan(theta) maps the
+   real line to a bounded interval, the homogenized polynomial is
+   evaluated on a uniform theta grid (overflow-free), sign changes are
+   bracketed and bisected, then Newton-polished (TPUs have no
+   nonsymmetric eig; f32 Durand-Kerner misses clustered roots).
+5. Back-substitution per real root: (x, y) by 2x2 least squares on the
+   three rows of B(z), candidate E = x*E0 + y*E1 + z*E2 + E3.
+
+Measured on exact synthetic minimal problems (tests/test_fivepoint.py):
+median candidate-vs-true |dE| ~ 1e-5, ~93% of samples recover the true E
+to 1e-2 — the f32 floor; the ~7% lost samples just waste hypotheses,
+exactly like OpenCV's own degenerate draws.
+
+Each sample yields up to 10 candidate essential matrices with a validity
+mask; invalid/complex roots are masked and never win scoring.
+
+Algorithm follows Nister, "An efficient solution to the five-point
+relative pose problem", PAMI 2004 (and the Stewenius ordering); this is a
+from-scratch JAX implementation, not a port of OpenCV's five-point.cpp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gim_tpu.utils import highp
+
+# ---------------------------------------------------------------------------
+# Monomial bases and multiplication tensors (module-load constants)
+# ---------------------------------------------------------------------------
+
+# degree <= 1 basis: x, y, z, 1
+_MONO1 = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+# degree <= 2 basis
+_MONO2 = [(2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1),
+          (0, 1, 1), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+# degree <= 3 basis, Nister-ordered: the first 10 monomials have
+# deg_x + deg_y >= 2 (eliminated by Gauss-Jordan); the trailing 10 are
+# x*(z^2,z,1), y*(z^2,z,1), (z^3,z^2,z,1).
+_MONO3 = [(3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+          (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+          (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+          (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0)]
+
+
+def _mul_table(a_basis, b_basis, out_basis):
+    out_index = {m: i for i, m in enumerate(out_basis)}
+    t = np.zeros((len(a_basis), len(b_basis), len(out_basis)), np.float32)
+    for i, ma in enumerate(a_basis):
+        for j, mb in enumerate(b_basis):
+            m = tuple(ea + eb for ea, eb in zip(ma, mb))
+            t[i, j, out_index[m]] = 1.0
+    return t
+
+
+# kept as numpy so lazy import inside an active jit trace can't capture
+# trace-bound constants (einsum embeds them per-trace)
+_T11 = _mul_table(_MONO1, _MONO1, _MONO2)   # (4, 4, 10)
+_T21 = _mul_table(_MONO2, _MONO1, _MONO3)   # (10, 4, 20)
+
+
+def _mul11(a, b):
+    """(..., 4) x (..., 4) -> (..., 10)."""
+    return jnp.einsum("...i,...j,ijk->...k", a, b, _T11)
+
+
+def _mul21(a, b):
+    """(..., 10) x (..., 4) -> (..., 20)."""
+    return jnp.einsum("...i,...j,ijk->...k", a, b, _T21)
+
+
+def _pconv_tensor(la: int, lb: int) -> np.ndarray:
+    t = np.zeros((la, lb, la + lb - 1), np.float32)
+    for i in range(la):
+        for j in range(lb):
+            t[i, j, i + j] = 1.0
+    return t
+
+
+_CONV_CACHE: dict = {}
+
+
+def pconv(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Polynomial product on trailing coefficient axes (highest degree
+    first). (..., la) x (..., lb) -> (..., la+lb-1)."""
+    la, lb = a.shape[-1], b.shape[-1]
+    key = (la, lb)
+    if key not in _CONV_CACHE:
+        _CONV_CACHE[key] = _pconv_tensor(la, lb)
+    return jnp.einsum("...i,...j,ijk->...k", a, b, _CONV_CACHE[key])
+
+
+# ---------------------------------------------------------------------------
+# Steps 1-2: nullspace basis and the 10x20 constraint system
+# ---------------------------------------------------------------------------
+
+def _epipolar_rows9(p0: jax.Array, p1: jax.Array) -> jax.Array:
+    """Rows of p1^T E p0 = 0 for E flattened row-major.
+    p0/p1: (..., N, 2) -> (..., N, 9)."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    one = jnp.ones_like(x0)
+    return jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1,
+                      x0, y0, one], axis=-1)
+
+
+@highp
+def nullspace_basis(p0: jax.Array, p1: jax.Array) -> jax.Array:
+    """4-dim nullspace of the 5x9 constraint matrix.
+    p0/p1: (..., 5, 2) -> (..., 4, 3, 3) basis matrices (E0, E1, E2, E3)."""
+    a = _epipolar_rows9(p0, p1)                       # (..., 5, 9)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    basis = vt[..., 5:, :]                            # (..., 4, 9)
+    return basis.reshape(*basis.shape[:-1], 3, 3)
+
+
+@highp
+def constraint_matrix(basis: jax.Array) -> jax.Array:
+    """The 10 cubic constraints (det E = 0 and the trace constraint) as a
+    (..., 10, 20) coefficient matrix over _MONO3."""
+    # E entries as degree-1 polynomials: (..., 3, 3, 4)
+    e = jnp.moveaxis(basis, -3, -1)
+
+    def m11(i, j, k, l):
+        return _mul11(e[..., i, j, :], e[..., k, l, :])
+
+    # det(E) (degree 3, 20 coeffs)
+    c00 = m11(1, 1, 2, 2) - m11(1, 2, 2, 1)
+    c01 = m11(1, 0, 2, 2) - m11(1, 2, 2, 0)
+    c02 = m11(1, 0, 2, 1) - m11(1, 1, 2, 0)
+    det = (_mul21(c00, e[..., 0, 0, :]) - _mul21(c01, e[..., 0, 1, :])
+           + _mul21(c02, e[..., 0, 2, :]))
+
+    # EE^T entries (degree 2): (..., 3, 3, 10)
+    eet = jnp.stack([
+        jnp.stack([sum(m11(i, k, j, k) for k in range(3))
+                   for j in range(3)], axis=-2)
+        for i in range(3)], axis=-3)
+    tr = eet[..., 0, 0, :] + eet[..., 1, 1, :] + eet[..., 2, 2, :]
+
+    rows = [det]
+    for i in range(3):
+        for j in range(3):
+            cij = sum(_mul21(2.0 * eet[..., i, k, :], e[..., k, j, :])
+                      for k in range(3))
+            cij = cij - _mul21(tr, e[..., i, j, :])
+            rows.append(cij)
+    return jnp.stack(rows, axis=-2)                   # (..., 10, 20)
+
+
+# ---------------------------------------------------------------------------
+# Step 3: Gauss-Jordan + Nister z-elimination
+# ---------------------------------------------------------------------------
+
+@highp
+def gauss_jordan(a: jax.Array) -> jax.Array:
+    """Reduce (..., 10, 20) to [I | M] with partial pivoting (10 static
+    steps, batched; row swaps via one-hot permutation matmuls)."""
+    n = a.shape[-2]
+    rows_idx = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(a[..., :, k])
+        col = jnp.where(rows_idx >= k, col, -1.0)     # only rows >= k
+        piv = jnp.argmax(col, axis=-1)                # (...,)
+        # swap rows k and piv
+        pk = jax.nn.one_hot(piv, n, dtype=a.dtype)    # (..., n)
+        ek = jax.nn.one_hot(jnp.full(piv.shape, k), n, dtype=a.dtype)
+        # permutation: P = I - ek ek^T - pk pk^T + ek pk^T + pk ek^T
+        eye = jnp.eye(n, dtype=a.dtype)
+        P = (eye - ek[..., :, None] * ek[..., None, :]
+             - pk[..., :, None] * pk[..., None, :]
+             + ek[..., :, None] * pk[..., None, :]
+             + pk[..., :, None] * ek[..., None, :])
+        a = P @ a
+        pivval = a[..., k:k + 1, k:k + 1]
+        safe = jnp.where(jnp.abs(pivval) < 1e-12,
+                         jnp.where(pivval < 0, -1e-12, 1e-12), pivval)
+        row_k = a[..., k:k + 1, :] / safe
+        factors = a[..., :, k:k + 1]                  # (..., n, 1)
+        mask = (rows_idx != k).astype(a.dtype)[..., :, None]
+        a = a - mask * factors * row_k
+        a = a.at[..., k, :].set(row_k[..., 0, :])
+    return a
+
+
+@highp
+def detb_coeffs(reduced: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """From the reduced system, build B(z) (Nister's 3x3 polynomial matrix)
+    and its determinant's degree-10 coefficients.
+
+    Returns (c (..., 11) highest-first, B-polys packed for back-subst:
+    (bx (..., 3, 4), by (..., 3, 4), b1 (..., 3, 5)))."""
+    m = reduced[..., :, 10:]                          # (..., 10, 10)
+
+    def eq(r, s):
+        # row r leads mu*z, row s leads mu: eq = m_r - z * m_s
+        px = jnp.stack([-m[..., s, 0], m[..., r, 0] - m[..., s, 1],
+                        m[..., r, 1] - m[..., s, 2], m[..., r, 2]], axis=-1)
+        py = jnp.stack([-m[..., s, 3], m[..., r, 3] - m[..., s, 4],
+                        m[..., r, 4] - m[..., s, 5], m[..., r, 5]], axis=-1)
+        p1 = jnp.stack([-m[..., s, 6], m[..., r, 6] - m[..., s, 7],
+                        m[..., r, 7] - m[..., s, 8],
+                        m[..., r, 8] - m[..., s, 9], m[..., r, 9]], axis=-1)
+        return px, py, p1
+
+    # leading monomials (by _MONO3 order): row4 = x^2 z, row5 = x^2,
+    # row6 = y^2 z, row7 = y^2, row8 = xyz, row9 = xy
+    ax, ay, a1 = eq(4, 5)
+    bx, by, b1 = eq(6, 7)
+    cx, cy, c1 = eq(8, 9)
+
+    # det B = ax (by c1 - b1 cy) - ay (bx c1 - b1 cx) + a1 (bx cy - by cx)
+    t1 = pconv(by, c1) - pconv(b1, cy)                # (..., 8)
+    t2 = pconv(bx, c1) - pconv(b1, cx)
+    t3 = pconv(bx, cy) - pconv(by, cx)                # (..., 7)
+    det = pconv(ax, t1) - pconv(ay, t2) + pconv(a1, t3)   # (..., 11)
+
+    bxs = jnp.stack([ax, bx, cx], axis=-2)            # (..., 3, 4)
+    bys = jnp.stack([ay, by, cy], axis=-2)
+    b1s = jnp.stack([a1, b1, c1], axis=-2)            # (..., 3, 5)
+    return det, (bxs, bys, b1s)
+
+
+# ---------------------------------------------------------------------------
+# Step 4: degree-10 roots (Durand-Kerner + Newton polish)
+# ---------------------------------------------------------------------------
+
+def _horner(c: jax.Array, x: jax.Array) -> jax.Array:
+    """Evaluate polynomial (coeffs (..., n) highest first) at x (..., R)."""
+    out = jnp.broadcast_to(c[..., 0:1], x.shape).astype(x.dtype) * 0 \
+        + c[..., 0:1]
+    for i in range(1, c.shape[-1]):
+        out = out * x + c[..., i:i + 1]
+    return out
+
+
+def _homog_eval(c: jax.Array, s: jax.Array, co: jax.Array) -> jax.Array:
+    """Homogeneous polynomial evaluation q = sum_k c_k s^(n-k) co^k
+    (= p(s/co) * co^n) — overflow-free for any root magnitude.
+    c: (..., n+1) highest-first; s/co: (..., R) -> (..., R)."""
+    n = c.shape[-1] - 1
+    cpow = co ** 0
+    q = c[..., 0:1] * jnp.ones_like(s)
+    for k in range(1, n + 1):
+        cpow = cpow * co
+        q = q * s + c[..., k:k + 1] * cpow
+    return q
+
+
+@highp
+def roots_deg10(c: jax.Array, grid: int = 1024, bisect_iters: int = 30,
+                newton_iters: int = 3) -> tuple[jax.Array, jax.Array]:
+    """Real roots of batched degree-10 polynomials.
+
+    Deterministic global search (TPUs have no nonsymmetric eig, and f32
+    Durand-Kerner misses clustered roots): substitute z = tan(theta) so
+    the whole real line maps to theta in (-pi/2, pi/2), evaluate the
+    homogenized polynomial on a uniform theta grid (no overflow at large
+    |z|), bracket sign changes (a degree-10 poly has <= 10), then bisect
+    each bracket to f32 limit and Newton-polish.
+
+    c: (..., 11) highest-first. Returns (roots (..., 10), valid (..., 10));
+    invalid slots never produced a bracket. Even-multiplicity roots (no
+    sign change) are not found — measure-zero for RANSAC samples, and the
+    neighbouring candidates + IRLS refinement absorb near-double roots.
+    """
+    scale = jnp.max(jnp.abs(c), axis=-1, keepdims=True)
+    cm = c / jnp.maximum(scale, 1e-30)
+
+    eps = 1e-4
+    theta = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, grid + 1)
+    s, co = jnp.sin(theta), jnp.cos(theta)
+    q = _homog_eval(cm, jnp.broadcast_to(s, (*cm.shape[:-1], grid + 1)),
+                    jnp.broadcast_to(co, (*cm.shape[:-1], grid + 1)))
+    sgn = jnp.where(q >= 0, 1.0, -1.0)
+    crossing = sgn[..., :-1] * sgn[..., 1:] < 0        # (..., grid)
+
+    # pick up to 10 bracket indices (top-k on the crossing indicator;
+    # deterministic tie-break by grid position)
+    score = crossing.astype(jnp.float32) * 2.0 \
+        - jnp.arange(grid, dtype=jnp.float32) / grid
+    _, idx = jax.lax.top_k(score, 10)                  # (..., 10)
+    valid = jnp.take_along_axis(crossing, idx, axis=-1)
+
+    lo = jnp.take_along_axis(
+        jnp.broadcast_to(theta[:-1], (*cm.shape[:-1], grid)), idx, axis=-1)
+    hi = lo + (theta[1] - theta[0])
+    qlo = jnp.take_along_axis(q[..., :-1], idx, axis=-1)
+    slo = jnp.where(qlo >= 0, 1.0, -1.0)
+
+    def bis(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        qm = _homog_eval(cm, jnp.sin(mid), jnp.cos(mid))
+        smid = jnp.where(qm >= 0, 1.0, -1.0)
+        same = smid == slo
+        lo = jnp.where(same, mid, lo)
+        hi = jnp.where(same, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None, length=bisect_iters)
+    r = jnp.tan(0.5 * (lo + hi))
+
+    # Newton polish in z (guarded; keeps bisection root if Newton jumps)
+    dc = cm[..., :-1] * jnp.arange(10, 0, -1)
+    for _ in range(newton_iters):
+        pr = _horner(cm, r)
+        dpr = _horner(dc, r)
+        dpr = jnp.where(jnp.abs(dpr) < 1e-20,
+                        jnp.where(dpr < 0, -1e-20, 1e-20), dpr)
+        step = pr / dpr
+        step = jnp.clip(step, -1.0, 1.0)
+        r = r - step
+
+    return r, valid & jnp.isfinite(r)
+
+
+# ---------------------------------------------------------------------------
+# Step 5: back-substitution -> candidate essential matrices
+# ---------------------------------------------------------------------------
+
+@highp
+def essential_candidates(p0: jax.Array, p1: jax.Array):
+    """5-point minimal solve. p0/p1: (..., 5, 2) normalized camera coords.
+    Returns (E (..., 10, 3, 3), valid (..., 10))."""
+    basis = nullspace_basis(p0, p1)                   # (..., 4, 3, 3)
+    a = constraint_matrix(basis)                      # (..., 10, 20)
+    reduced = gauss_jordan(a)
+    det, (bxs, bys, b1s) = detb_coeffs(reduced)
+    roots, rvalid = roots_deg10(det)                  # (..., 10)
+
+    # evaluate B(z) rows at each root: (..., 10 roots, 3 rows)
+    z = roots[..., :, None]                           # (..., 10, 1)
+    Bx = _horner_last(bxs, z)                         # (..., 10, 3)
+    By = _horner_last(bys, z)
+    B1 = _horner_last(b1s, z)
+    B = jnp.stack([Bx, By, B1], axis=-1)              # (..., 10, 3, 3)
+
+    # (x, y) by least squares on the 3x2 system [Bx By][x y]^T = -B1
+    # (better conditioned than row cross products when the null vector's
+    # w-component is small). Rows are scale-normalized first.
+    rn = jnp.linalg.norm(B, axis=-1, keepdims=True)
+    Bn = B / jnp.maximum(rn, 1e-20)
+    A2 = Bn[..., :, :2]                               # (..., 10, 3, 2)
+    rhs = -Bn[..., :, 2]                              # (..., 10, 3)
+    ata = jnp.einsum("...ri,...rj->...ij", A2, A2)    # (..., 10, 2, 2)
+    atb = jnp.einsum("...ri,...r->...i", A2, rhs)     # (..., 10, 2)
+    a, b2 = ata[..., 0, 0], ata[..., 0, 1]
+    d = ata[..., 1, 1]
+    detn = a * d - b2 * b2
+    dsafe = jnp.where(jnp.abs(detn) < 1e-20,
+                      jnp.where(detn < 0, -1e-20, 1e-20), detn)
+    x = (d * atb[..., 0] - b2 * atb[..., 1]) / dsafe
+    y = (a * atb[..., 1] - b2 * atb[..., 0]) / dsafe
+    valid = rvalid & (jnp.abs(detn) > 1e-12)
+
+    # E = x E0 + y E1 + z E2 + E3
+    b = basis[..., None, :, :, :]                     # (..., 1, 4, 3, 3)
+    coef = jnp.stack([x, y, roots, jnp.ones_like(x)], axis=-1)  # (...,10,4)
+    E = jnp.einsum("...rk,...rkij->...rij",
+                   coef, jnp.broadcast_to(b, (*coef.shape[:-1], 4, 3, 3)))
+    nrm = jnp.linalg.norm(E.reshape(*E.shape[:-2], 9), axis=-1)
+    E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
+    valid = valid & jnp.isfinite(E).all(axis=(-1, -2)) & (nrm > 1e-9)
+    E = jnp.where(valid[..., None, None], E, jnp.eye(3))
+    return E, valid
+
+
+def _horner_last(c: jax.Array, x: jax.Array) -> jax.Array:
+    """c: (..., 3, n) highest-first; x: (..., R, 1) -> (..., R, 3)."""
+    n = c.shape[-1]
+    out = jnp.broadcast_to(c[..., None, :, 0], x.shape[:-1] + (3,))
+    for i in range(1, n):
+        out = out * x + c[..., None, :, i]
+    return out

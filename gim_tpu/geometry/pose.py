@@ -22,18 +22,21 @@ from gim_tpu.utils import highp
 @highp
 def estimate_pose(kpts0: jax.Array, kpts1: jax.Array, valid: jax.Array,
                   K0: jax.Array, K1: jax.Array, key: jax.Array,
-                  thresh: float = 0.5, num_hypotheses: int = 1024):
-    """On-chip equivalent of ref tools/metrics.py:77-103.
+                  thresh: float = 0.5, num_hypotheses: int = 1024,
+                  conf: jax.Array | None = None):
+    """On-chip equivalent of ref tools/metrics.py:77-103 (5-point Nister
+    essential RANSAC + recoverPose cheirality).
 
-    kpts: (M, 2) pixels with (M,) validity mask. Returns dict with
-    R (3,3), t (3,), inliers (M,), success (). Threshold is `thresh` pixels
+    kpts: (M, 2) pixels with (M,) validity mask; conf: optional match
+    confidences (PROSAC-ordered sampling). Returns dict with R (3,3),
+    t (3,), inliers (M,), success (). Threshold is `thresh` pixels
     normalized by mean focal (reference: mean of [f0x, f1y, f0x, f1y])."""
     p0 = normalize_points(kpts0, K0)
     p1 = normalize_points(kpts1, K1)
     f_mean = (K0[0, 0] + K1[1, 1]) / 2.0
     thr = thresh / f_mean
     res = ransac(p0, p1, valid, key, thr, model_kind="essential",
-                 num_hypotheses=num_hypotheses)
+                 num_hypotheses=num_hypotheses, conf=conf)
     R, t, n_good, good = recover_pose(res.model, p0, p1,
                                       res.inliers.astype(jnp.float32))
     enough = jnp.sum(valid) >= 5

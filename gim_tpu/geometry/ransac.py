@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from gim_tpu.geometry.epipolar import sampson_distance, to_homogeneous
+from gim_tpu.geometry.fivepoint import essential_candidates
 from gim_tpu.utils import highp
 
 
@@ -159,39 +160,90 @@ def homography_transfer_error(p0: jax.Array, p1: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _sample_minimal(key: jax.Array, valid: jax.Array, num_hyp: int,
-                    sample_size: int) -> jax.Array:
+                    sample_size: int,
+                    conf: jax.Array | None = None) -> jax.Array:
     """(num_hyp, sample_size) indices of valid points, sampled without
-    replacement per hypothesis via the Gumbel-top-k trick."""
+    replacement per hypothesis via the Gumbel-top-k trick.
+
+    With `conf`, sampling is PROSAC-style progressive: points are ranked
+    by confidence and hypothesis h draws only from the top-n_h prefix,
+    n_h growing from ~2x the sample size to all valid points across the
+    bank (Chum & Matas, "Matching with PROSAC", CVPR 2005 — early
+    hypotheses concentrate on high-confidence matches, which is where
+    OpenCV's USAC gets its low-inlier robustness)."""
     M = valid.shape[-1]
     noise = jax.random.uniform(key, (num_hyp, M))
-    noise = jnp.where(valid[None, :], noise, -1.0)
-    _, idx = jax.lax.top_k(noise, sample_size)
-    return idx
+    if conf is None:
+        noise = jnp.where(valid[None, :], noise, -1.0)
+        _, idx = jax.lax.top_k(noise, sample_size)
+        return idx
+
+    rank_key = jnp.where(valid, conf, -jnp.inf)
+    order = jnp.argsort(-rank_key)                    # best first
+    nvalid = jnp.sum(valid)
+    n_min = jnp.minimum(jnp.maximum(2 * sample_size, 10), nvalid)
+    frac = (jnp.arange(num_hyp, dtype=jnp.float32) + 1.0) / num_hyp
+    n_h = n_min + (nvalid - n_min) * frac ** 2        # (H,) prefix sizes
+    pos = jnp.arange(M, dtype=jnp.float32)
+    allowed = pos[None, :] < n_h[:, None]
+    noise = jnp.where(allowed, noise, -1.0)
+    _, sidx = jax.lax.top_k(noise, sample_size)       # sorted positions
+    return order[sidx]
 
 
 # ---------------------------------------------------------------------------
 # Core RANSAC loop (single pair; vmap for batches)
 # ---------------------------------------------------------------------------
 
+# sigma ladder for MAGSAC-like marginalized scoring: truncated-quadratic
+# gains at several inlier scales, summed — a discrete marginalization over
+# the noise scale (Barath et al., "MAGSAC: marginalizing sample
+# consensus", CVPR 2019; here as a fixed ladder instead of the gamma
+# integral so scoring stays one fused elementwise pass on chip).
+_SIGMA_LADDER = (0.25, 1.0, 4.0)
+
+
+def _magsac_gain(errs2: jax.Array, thr2, valid_f: jax.Array) -> jax.Array:
+    """errs2: (..., M) squared residuals -> (...,) marginalized score."""
+    g = 0.0
+    for s in _SIGMA_LADDER:
+        tau2 = thr2 * s
+        g = g + jnp.sum(jnp.maximum(0.0, 1.0 - errs2 / tau2)
+                        * valid_f, axis=-1)
+    return g
+
+
 @functools.partial(jax.jit, static_argnames=("model_kind", "num_hypotheses",
                                              "refine_rounds"))
 @highp
 def ransac(p0: jax.Array, p1: jax.Array, valid: jax.Array, key: jax.Array,
            threshold: float | jax.Array, *, model_kind: str = "essential",
-           num_hypotheses: int = 1024, refine_rounds: int = 3) -> RansacResult:
+           num_hypotheses: int = 1024, refine_rounds: int = 3,
+           conf: jax.Array | None = None) -> RansacResult:
     """Parallel-hypothesis RANSAC on one correspondence set.
 
     p0/p1: (M, 2) points (normalized camera coords for 'essential', pixels
     for 'fundamental'/'homography'); valid: (M,) mask; threshold: inlier
-    threshold in input units (distance, not squared).
+    threshold in input units (distance, not squared); conf: optional (M,)
+    match confidences enabling PROSAC-progressive sampling.
+
+    'essential' uses genuine 5-point Nister minimal samples (up to 10
+    candidate models per sample, gim_tpu.geometry.fivepoint) — the
+    OpenCV-parity solver the eval metric depends on; 'fundamental' uses
+    8-point and 'homography' 4-point DLT. All hypotheses are scored with
+    the sigma-marginalized MAGSAC-like gain, then the winner gets IRLS
+    local optimization.
     """
     M = p0.shape[0]
     essential = model_kind == "essential"
     homog = model_kind == "homography"
-    sample_size = 4 if homog else 8
+    sample_size = 5 if essential else (4 if homog else 8)
     thr2 = jnp.asarray(threshold, jnp.float32) ** 2
 
-    # condition the problem (Hartley) — solve normalized, score original
+    # condition the problem (Hartley) — solve normalized, score original.
+    # (The 5-point path solves directly in camera-normalized coords:
+    # a similarity re-conditioning would not preserve the essential
+    # manifold through denormalization.)
     T0 = hartley_transform(p0, valid)
     T1 = hartley_transform(p1, valid)
     q0 = _apply_T(p0, T0)
@@ -215,28 +267,73 @@ def ransac(p0: jax.Array, p1: jax.Array, valid: jax.Array, key: jax.Array,
             return homography_transfer_error(p0, p1, model)
         return sampson_distance(p0h, p1h, model)
 
-    idx = _sample_minimal(key, valid, num_hypotheses, sample_size)
-    s0 = q0[idx]                                     # (H, k, 2)
-    s1 = q1[idx]
-    ones = jnp.ones(idx.shape, jnp.float32)
-
-    if homog:
-        models = denorm(solve_homography_raw(s0, s1, ones))
-    else:
-        models = denorm(solve_epipolar_raw(s0, s1, ones))
-    errs = residuals(models)                         # (H, M)
-
     valid_f = valid.astype(jnp.float32)
-    inl = (errs < thr2) & valid[None]
-    counts = jnp.sum(inl, axis=-1)
-    # MSAC score for tie-breaking among equal counts
-    msac = jnp.sum(jnp.minimum(errs, thr2) * valid_f[None], axis=-1)
-    order = counts.astype(jnp.float32) - msac / (msac.max() + 1.0)
-    best = jnp.argmax(order)
-    best_model = models[best]
 
-    # Local optimization: IRLS refit on inliers (Torr-style), fixed rounds.
-    def refine(model, _):
+    def hypothesize_and_score(skey, n_hyp, sample_conf):
+        """Sample n_hyp minimal sets, solve, score all candidates in
+        memory-bounded chunks. Returns (best_gain, best_model)."""
+        idx = _sample_minimal(skey, valid, n_hyp, sample_size, sample_conf)
+        if essential:
+            cand, cand_valid = essential_candidates(p0[idx], p1[idx])
+            models = cand.reshape(-1, 3, 3)           # (H*10, 3, 3)
+            mvalid = cand_valid.reshape(-1)
+        else:
+            s0, s1 = q0[idx], q1[idx]                 # (H, k, 2)
+            ones = jnp.ones(idx.shape, jnp.float32)
+            if homog:
+                models = denorm(solve_homography_raw(s0, s1, ones))
+            else:
+                models = denorm(solve_epipolar_raw(s0, s1, ones))
+            mvalid = jnp.ones(models.shape[0], bool)
+
+        # chunked scoring: never materialize the full (N_models, M)
+        # residual matrix (5-point banks are 10x the hypothesis count)
+        N = models.shape[0]
+        chunk = min(2048, N)
+        n_chunks = -(-N // chunk)
+        pad = n_chunks * chunk - N
+        models_p = jnp.concatenate(
+            [models, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))], axis=0)
+        mvalid_p = jnp.concatenate([mvalid, jnp.zeros(pad, bool)])
+
+        def score_chunk(args):
+            mc, vc = args
+            errs = residuals(mc)                      # (chunk, M)
+            gain = _magsac_gain(errs, thr2, valid_f[None])
+            gain = jnp.where(vc, gain, -jnp.inf)
+            i = jnp.argmax(gain)
+            return gain[i], mc[i]
+
+        gains, bests = jax.lax.map(
+            score_chunk, (models_p.reshape(n_chunks, chunk, 3, 3),
+                          mvalid_p.reshape(n_chunks, chunk)))
+        i = jnp.argmax(gains)
+        return gains[i], bests[i]
+
+    k1, k2 = jax.random.split(key)
+    best_gain, best_model = hypothesize_and_score(k1, num_hypotheses, conf)
+
+    # LO resampling round: draw fresh minimal samples preferentially from
+    # the best model's (loose) inlier set — the inner-sampling step that
+    # gives LO-RANSAC/USAC its low-inlier-ratio robustness (Chum, Matas &
+    # Kittler, "Locally optimized RANSAC", 2003). One round at 1/4 the
+    # bank: any better-than-random first model bootstraps to near-all-
+    # inlier samples.
+    e_best = residuals(best_model)
+    loose_in = ((e_best < 4.0 * thr2) & valid).astype(jnp.float32)
+    gain2, model2 = hypothesize_and_score(k2, max(num_hypotheses // 4, 32),
+                                          loose_in)
+    better = gain2 > best_gain
+    best_model = jnp.where(better, model2, best_model)
+    best_gain = jnp.where(better, gain2, best_gain)
+
+    # Local optimization: IRLS refit on inliers (Torr-style), fixed rounds,
+    # LO-RANSAC acceptance — a refit is kept only if it does not reduce the
+    # marginalized gain (an unguarded accept can replace an exact minimal
+    # 5-point model with a worse projected DLT fit).
+
+    def refine(carry, _):
+        model, gain = carry
         e = residuals(model)
         w = jnp.where((e < thr2) & valid, 1.0 / jnp.maximum(e, 1e-10 * thr2), 0.0)
         w = jnp.minimum(w, 1e6)
@@ -247,10 +344,14 @@ def ransac(p0: jax.Array, p1: jax.Array, valid: jax.Array, key: jax.Array,
             new = denorm(solve_homography_raw(q0, q1, w))
         else:
             new = denorm(solve_epipolar_raw(q0, q1, w))
-        model = jnp.where(enough, new, model)
-        return model, None
+        new_gain = _magsac_gain(residuals(new), thr2, valid_f)
+        accept = enough & (new_gain >= gain)
+        model = jnp.where(accept, new, model)
+        gain = jnp.where(accept, new_gain, gain)
+        return (model, gain), None
 
-    best_model, _ = jax.lax.scan(refine, best_model, None, length=refine_rounds)
+    (best_model, _), _ = jax.lax.scan(refine, (best_model, best_gain), None,
+                                      length=refine_rounds)
 
     final_err = residuals(best_model)
     inliers = (final_err < thr2) & valid

@@ -39,9 +39,41 @@ def coords_grid(b: int, h: int, w: int) -> jax.Array:
 
 
 def resize_nhwc(x: jax.Array, h: int, w: int) -> jax.Array:
-    """Bilinear resize, half-pixel centers (torch align_corners=False)."""
+    """Bilinear resize, half-pixel centers (torch align_corners=False).
+
+    antialias=False is load-bearing: torch F.interpolate never antialiases
+    (the reference's every resize, e.g. dkm.py:670), while jax.image.resize
+    defaults to an antialiased (PIL-style) kernel on downsampling."""
     B, _, _, C = x.shape
-    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+    return jax.image.resize(x, (B, h, w, C), method="bilinear",
+                            antialias=False)
+
+
+def resize_region_nhwc(x: jax.Array, h: int, w: int,
+                       extent01: jax.Array) -> jax.Array:
+    """Bilinear-resize the top-left sub-region of each canvas to (h, w).
+
+    x: (B, H, W, C); extent01: (B, 2) per-image (w_frac, h_frac) — the
+    fraction of the canvas holding real content (rest is pad). Equivalent
+    to cropping the valid rectangle and F.interpolate-ing it to (h, w)
+    with align_corners=False — the reference eval's aspect-distorting
+    resize (ref networks/dkm/models/dkm.py:668-671) — but with static
+    shapes. With extent01 == 1 this matches resize_nhwc.
+    """
+    B, H, W, _ = x.shape
+    # output pixel centers in source-canvas pixel space, per image
+    ys = (jnp.arange(h) + 0.5) / h           # (h,) in (0,1) of the region
+    xs = (jnp.arange(w) + 0.5) / w
+    src_y = ys[None, :] * (extent01[:, 1:2] * H) - 0.5       # (B, h)
+    src_x = xs[None, :] * (extent01[:, 0:1] * W) - 0.5       # (B, w)
+    # to grid_sample align_corners=False normalized coords
+    ny = (2.0 * src_y + 1.0) / H - 1.0
+    nx = (2.0 * src_x + 1.0) / W - 1.0
+    coords = jnp.stack([
+        jnp.broadcast_to(nx[:, None, :], (B, h, w)),
+        jnp.broadcast_to(ny[:, :, None], (B, h, w)),
+    ], axis=-1)
+    return sample_nhwc(x, coords, padding_mode="border")
 
 
 def sample_nhwc(img: jax.Array, coords: jax.Array,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gim_tpu.config import DKMConfig
 from gim_tpu.models.dkm.blocks import (GP, ConvRefiner, DFNScale,
                                        coords_grid, kde_density, resize_nhwc,
-                                       sample_nhwc)
+                                       resize_region_nhwc, sample_nhwc)
 from gim_tpu.models.dkm.encoder import ResNet50Pyramid
 
 REFINER_SPECS = {
@@ -119,8 +119,29 @@ class DKMMatcher(nn.Module):
                for k, v in feats.items()}
         return f_q, f_s
 
-    def __call__(self, im0: jax.Array, im1: jax.Array):
-        """im0/im1: (B, 3, H, W) float [0,1] (aspect-padded canvases).
+    def train_corresps(self, im0: jax.Array, im1: jax.Array) -> dict:
+        """Single-pass per-scale outputs for training: symmetric forward at
+        (h_resized, w_resized), no upsample refinement. Returns
+        {scale: {dense_flow (2B, h_s, w_s, 2), dense_certainty (2B, ..., 1)}}
+        — first B rows are query->support, last B the reverse (the
+        reference trains the symmetric batch the same way,
+        ref dkm.py:639-647)."""
+        c = self.cfg
+        q = jnp.transpose(im0, (0, 2, 3, 1))
+        s = jnp.transpose(im1, (0, 2, 3, 1))
+        q_r = resize_nhwc(q, c.h_resized, c.w_resized)
+        s_r = resize_nhwc(s, c.h_resized, c.w_resized)
+        f_q, f_s = self._symmetric_pyramids(q_r, s_r)
+        return self.decoder(f_q, f_s)
+
+    def __call__(self, im0: jax.Array, im1: jax.Array,
+                 extent0: jax.Array | None = None,
+                 extent1: jax.Array | None = None):
+        """im0/im1: (B, 3, H, W) float [0,1] canvases. extent0/1: optional
+        (B, 2) (w_frac, h_frac) valid-region fractions — when given, only
+        that top-left region is resampled to the model resolution
+        (the reference eval's aspect-distorting resize of the unpadded
+        rectangle, ref dkm.py:668-671 + trainer/lightning.py:134-156).
         Returns (warp (B, hs, 2*ws, 4), certainty (B, hs, 2*ws)) in the
         symmetric layout of the reference (:734-742)."""
         c = self.cfg
@@ -128,8 +149,14 @@ class DKMMatcher(nn.Module):
         q = jnp.transpose(im0, (0, 2, 3, 1))
         s = jnp.transpose(im1, (0, 2, 3, 1))
         hs, ws = c.h_resized, c.w_resized
-        q_r = resize_nhwc(q, hs, ws)
-        s_r = resize_nhwc(s, hs, ws)
+
+        def rsz(x, h, w, extent):
+            if extent is None:
+                return resize_nhwc(x, h, w)
+            return resize_region_nhwc(x, h, w, extent)
+
+        q_r = rsz(q, hs, ws, extent0)
+        s_r = rsz(s, hs, ws, extent1)
 
         f_q, f_s = self._symmetric_pyramids(q_r, s_r)
         corresps = self.decoder(f_q, f_s)
@@ -141,8 +168,8 @@ class DKMMatcher(nn.Module):
         low_res_certainty = 0.5 * low_res_certainty * (low_res_certainty < 0)
 
         if c.upsample_preds:
-            q_u = resize_nhwc(q, hs, ws)
-            s_u = resize_nhwc(s, hs, ws)
+            q_u = rsz(q, hs, ws, extent0)
+            s_u = rsz(s, hs, ws, extent1)
             f_q, f_s = self._symmetric_pyramids(q_u, s_u)
             corresps = self.decoder(
                 f_q, f_s, upsample=True,
@@ -156,14 +183,19 @@ class DKMMatcher(nn.Module):
         wrong = (jnp.abs(flow) > 1).any(axis=-1)
         certainty = jnp.where(wrong, 0.0, certainty)
 
-        # black-pixel mask from the ORIGINAL canvases (ref :726-731)
-        def black(im):
-            m = (im < 0.03125).all(axis=-1)
-            mr = jax.image.resize(m.astype(jnp.float32),
-                                  (m.shape[0], hs, ws), "nearest")
-            return mr > 0.5
+        # black-pixel mask (ref :726-731). Computed on the same resampled
+        # content the model saw so canvas padding is excluded in
+        # distort-aspect mode (reference computes it on the unpadded
+        # rectangle then nearest-resizes to (hs, ws)).
+        def black(im, extent):
+            if extent is None:
+                m = (im < 0.03125).all(axis=-1)
+                mr = jax.image.resize(m.astype(jnp.float32),
+                                      (m.shape[0], hs, ws), "nearest")
+                return mr > 0.5
+            return (rsz(im, hs, ws, extent) < 0.03125).all(axis=-1)
 
-        bm = jnp.concatenate([black(q), black(s)], axis=0)
+        bm = jnp.concatenate([black(q, extent0), black(s, extent1)], axis=0)
         certainty = jnp.where(bm, 0.0, certainty)
 
         flow = jnp.clip(flow, -1, 1)

@@ -64,6 +64,46 @@ class FinePreprocess(nn.Module):
         return f0, f1
 
 
+def _mix_gt_padding(m: dict, spv: dict, pad_min: int, rng) -> dict:
+    """Static-shape port of the reference's train-time coarse sampling
+    (ref coarse_matching.py:199-234): the fixed M fine-stage slots hold a
+    random subset of predicted matches in the first M - pad_min slots
+    (GT-backfilled where the prediction slot is invalid) and random GT
+    pairs in the last pad_min slots; GT-padded slots carry mconf 0."""
+    M = m["i_ids"].shape[-1]
+    pad_min = min(pad_min, M // 2)
+    n_keep = M - pad_min
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    r1, r2 = jax.random.split(rng)
+    B = m["i_ids"].shape[0]
+
+    # shuffle predictions, valid first
+    score = m["valid"].astype(jnp.float32) * 2.0 \
+        + jax.random.uniform(r1, (B, M))
+    _, keep = jax.lax.top_k(score, M)
+    i_p = jnp.take_along_axis(m["i_ids"], keep, 1)
+    j_p = jnp.take_along_axis(m["j_ids"], keep, 1)
+    c_p = jnp.take_along_axis(m["mconf"], keep, 1)
+    v_p = jnp.take_along_axis(m["valid"], keep, 1)
+
+    # GT candidates for every slot (uniform over valid GT, w/ replacement —
+    # the reference's torch.randint)
+    logits = jnp.where(spv["valid"], 0.0, -1e9)
+    gidx = jax.random.categorical(r2, logits[:, None, :].repeat(M, 1))
+    i_g = jnp.take_along_axis(spv["i_ids"], gidx, 1)
+    j_g = jnp.take_along_axis(spv["j_ids"], gidx, 1)
+    v_g = jnp.take_along_axis(spv["valid"], gidx, 1)
+
+    slot = jnp.arange(M)[None, :]
+    use_pred = (slot < n_keep) & v_p
+    out = dict(m)
+    out["i_ids"] = jnp.where(use_pred, i_p, i_g)
+    out["j_ids"] = jnp.where(use_pred, j_p, j_g)
+    out["mconf"] = jnp.where(use_pred, c_p, 0.0)
+    out["valid"] = use_pred | v_g
+    return out
+
+
 class LoFTRMatcher(nn.Module):
     cfg: LoFTRConfig
     train_mode: bool = False
@@ -71,9 +111,16 @@ class LoFTRMatcher(nn.Module):
 
     @nn.compact
     def __call__(self, color0, color1, scale0=None, scale1=None,
-                 mask0=None, mask1=None):
+                 mask0=None, mask1=None, spv=None, sample_rng=None):
         """color0/1: (B, 3, H, W) float [0,1]; scale0/1: (B, 2) [w/w', h/h'];
         mask0/1: (B, H, W) bool content masks for padded canvases.
+
+        spv (train only): dict with i_ids/j_ids (B, G) ground-truth coarse
+        cell pairs + valid (B, G) — enables the reference's train-time
+        coarse sampling (random subset of predictions + >= pad_num_gt_min
+        GT-padded slots with mconf 0 feeding the fine stage,
+        ref networks/loftr/utils/coarse_matching.py:199-234). sample_rng:
+        PRNGKey for that sampling.
 
         Returns dict: mkpts0_f/mkpts1_f (B, M, 2) in ORIGINAL image pixels,
         mconf (B, M), valid (B, M), plus coarse tensors for training.
@@ -138,6 +185,9 @@ class LoFTRMatcher(nn.Module):
                                     border=c.border_rm,
                                     max_matches=c.max_matches,
                                     true_hw0=true_hw0, true_hw1=true_hw1)
+
+        if self.train_mode and spv is not None:
+            m = _mix_gt_padding(m, spv, c.train_pad_num_gt_min, sample_rng)
 
         # fine refinement
         ff0, ff1 = FinePreprocess(c, name="fine_preprocess")(

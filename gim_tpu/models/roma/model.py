@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gim_tpu.config import RoMaConfig
 from gim_tpu.models.dinov2 import Block, DinoViT
 from gim_tpu.models.dkm.blocks import (GP, ConvRefiner, coords_grid,
-                                       resize_nhwc)
+                                       resize_nhwc, resize_region_nhwc)
 from gim_tpu.models.dkm.model import sample_matches  # shared sampler
 
 ROMA_REFINER_SPECS = {
@@ -211,16 +211,39 @@ class RoMaMatcher(nn.Module):
                for k, v in feats.items()}
         return f_q, f_s
 
-    def __call__(self, im0, im1):
-        """im0/im1: (B, 3, H, W) float [0,1] canvases. Returns
+    def train_corresps(self, im0, im1) -> dict:
+        """Single-pass per-scale outputs for training at coarse_res:
+        {scale: {flow (2B, h_s, w_s, 2), certainty, [gm_cls at 16]}} —
+        symmetric batch like DKM (first B rows query->support)."""
+        c = self.cfg
+        q = jnp.transpose(im0, (0, 2, 3, 1))
+        s = jnp.transpose(im1, (0, 2, 3, 1))
+        hs = ws = c.coarse_res
+        q_r = resize_nhwc(q, hs, ws)
+        s_r = resize_nhwc(s, hs, ws)
+        f_q, f_s = self.pyramids(q_r, s_r, upsample=False)
+        return self.decoder(f_q, f_s)
+
+    def __call__(self, im0, im1, extent0=None, extent1=None):
+        """im0/im1: (B, 3, H, W) float [0,1] canvases. extent0/1: optional
+        (B, 2) (w_frac, h_frac) valid-region fractions — reference eval
+        resizes the unpadded rectangle straight to the square model
+        resolution (aspect distortion, ref roma.py:826-830 via
+        trainer/lightning.py:134-156). Returns
         (warp (B, hs, 2*ws, 4), certainty (B, hs, 2*ws))."""
         c = self.cfg
         B = im0.shape[0]
         q = jnp.transpose(im0, (0, 2, 3, 1))
         s = jnp.transpose(im1, (0, 2, 3, 1))
         hs = ws = c.coarse_res
-        q_r = resize_nhwc(q, hs, ws)
-        s_r = resize_nhwc(s, hs, ws)
+
+        def rsz(x, h, w, extent):
+            if extent is None:
+                return resize_nhwc(x, h, w)
+            return resize_region_nhwc(x, h, w, extent)
+
+        q_r = rsz(q, hs, ws, extent0)
+        s_r = rsz(s, hs, ws, extent1)
 
         f_q, f_s = self.pyramids(q_r, s_r, upsample=False)
         corresps = self.decoder(f_q, f_s)
@@ -235,8 +258,8 @@ class RoMaMatcher(nn.Module):
         if c.upsample_preds:
             sf = math.sqrt(c.upsample_res[0] * c.upsample_res[1]
                            / (c.coarse_res * c.coarse_res))
-            q_u = resize_nhwc(q, hs, ws)
-            s_u = resize_nhwc(s, hs, ws)
+            q_u = rsz(q, hs, ws, extent0)
+            s_u = rsz(s, hs, ws, extent1)
             f_q, f_s = self.pyramids(q_u, s_u, upsample=True)
             corresps = self.decoder(f_q, f_s, upsample=True,
                                     flow=corresps[1]["flow"],
@@ -250,13 +273,15 @@ class RoMaMatcher(nn.Module):
         wrong = (jnp.abs(flow) > 1).any(axis=-1)
         certainty = jnp.where(wrong, 0.0, certainty)
 
-        def black(im):
-            m = (im < 0.03125).all(axis=-1)
-            mr = jax.image.resize(m.astype(jnp.float32),
-                                  (m.shape[0], hs, ws), "nearest")
-            return mr > 0.5
+        def black(im, extent):
+            if extent is None:
+                m = (im < 0.03125).all(axis=-1)
+                mr = jax.image.resize(m.astype(jnp.float32),
+                                      (m.shape[0], hs, ws), "nearest")
+                return mr > 0.5
+            return (rsz(im, hs, ws, extent) < 0.03125).all(axis=-1)
 
-        bm = jnp.concatenate([black(q), black(s)], axis=0)
+        bm = jnp.concatenate([black(q, extent0), black(s, extent1)], axis=0)
         certainty = jnp.where(bm, 0.0, certainty)
 
         flow = jnp.clip(flow, -1, 1)

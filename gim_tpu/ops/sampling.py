@@ -5,8 +5,8 @@ DKM/RoMa local correlation and warp resampling
 (ref networks/dkm/utils/local_correlation.py:36-38, networks/roma/roma.py:529+).
 
 Implementation is gather-based jnp — XLA lowers the gathers to efficient
-dynamic-slice/gather HLO; for the hot (2r+1)^2 local-correlation windows see
-gim_tpu/ops/correlation.py which avoids the general gather entirely.
+dynamic-slice/gather HLO; the hot (2r+1)^2 local-correlation windows live in
+gim_tpu/models/dkm/blocks.py:local_correlation (memory-bounded chunked form).
 """
 
 from __future__ import annotations

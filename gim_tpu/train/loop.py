@@ -54,15 +54,28 @@ def loftr_loss(cfg: GimConfig, variables, batch, rngs=None):
     """Forward + pseudo-label supervision (WALK-style 2D correspondences).
 
     batch: color0/color1 (B,3,H,W), labels (B,N,4) resized-frame px,
-    label_valid (B,N)."""
+    label_valid (B,N). The forward runs with the reference's train-time
+    coarse sampling: GT cell pairs (from the labels) pad the fine-stage
+    slots (ref coarse_matching.py:199-234)."""
     c = cfg.loftr
     model = LoFTRMatcher(c, train_mode=True)
-    out, mutated = model.apply(
-        variables, batch["color0"], batch["color1"],
-        mutable=["batch_stats"])
 
     B, _, H, W = batch["color0"].shape
     hw_c = (H // c.resolution[0], W // c.resolution[0])
+    hc_, wc_ = hw_c
+    spv_i = (jnp.clip(batch["labels"][..., 1] // c.resolution[0], 0, hc_ - 1)
+             * wc_ + jnp.clip(batch["labels"][..., 0] // c.resolution[0],
+                              0, wc_ - 1)).astype(jnp.int32)
+    spv_j = (jnp.clip(batch["labels"][..., 3] // c.resolution[0], 0, hc_ - 1)
+             * wc_ + jnp.clip(batch["labels"][..., 2] // c.resolution[0],
+                              0, wc_ - 1)).astype(jnp.int32)
+    spv = {"i_ids": spv_i, "j_ids": spv_j, "valid": batch["label_valid"]}
+    sample_rng = None if rngs is None else rngs.get("sample")
+
+    out, mutated = model.apply(
+        variables, batch["color0"], batch["color1"],
+        spv=spv, sample_rng=sample_rng,
+        mutable=["batch_stats"])
     conf_gt = L.coarse_gt_from_labels(batch["labels"], batch["label_valid"],
                                       hw_c, c.resolution[0])
     loss_c = L.coarse_focal_loss(out["conf_matrix"], conf_gt,

@@ -206,9 +206,12 @@ def port_loftr(sd: dict, n_pairs_coarse: int = 4,
     # transformers
     _port_loftr_transformer(m, "loftr_coarse", "loftr_coarse", n_pairs_coarse)
     _port_loftr_transformer(m, "loftr_fine", "loftr_fine", n_pairs_fine)
-    # fine preprocess
-    m.dense("fine_preprocess.down_proj", "fine_preprocess/down_proj")
-    m.dense("fine_preprocess.merge_feat", "fine_preprocess/merge_feat")
+    # fine preprocess — present only when FINE_CONCAT_COARSE_FEAT (the
+    # gim_loftr config leaves it False, ref networks/loftr/config.py:14,
+    # so these keys normally don't exist)
+    if "fine_preprocess.down_proj.weight" in m.sd:
+        m.dense("fine_preprocess.down_proj", "fine_preprocess/down_proj")
+        m.dense("fine_preprocess.merge_feat", "fine_preprocess/merge_feat")
     m.drop("coarse_matching.", "fine_matching.", "pos_encoding.")
     assert not m.sd, f"unmapped loftr keys: {list(m.sd)[:8]}"
     return {"params": m.tree, "batch_stats": m.stats}

@@ -17,4 +17,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-prepends 'axon' to jax_platforms even when
+# the env var says cpu — override through the config API (the env-var-only
+# route silently left the whole suite running over the TPU tunnel).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -105,3 +105,63 @@ def test_dkm_forward_shapes_tiny():
     m, conf, valid = M.sample_matches(jax.random.PRNGKey(1), warp[0], cert[0],
                                       num=64)
     assert m.shape == (64, 4) and conf.shape == (64,)
+
+
+def test_resize_region_matches_torch_crop_interpolate():
+    """resize_region_nhwc(extent) == F.interpolate of the cropped valid
+    rectangle (the reference eval's aspect-distorting resize,
+    ref networks/dkm/models/dkm.py:668-671)."""
+    rng = np.random.default_rng(3)
+    H, W, h, w = 40, 48, 24, 32
+    hv, wv = 30, 36                       # valid region
+    img = np.zeros((1, H, W, 3), np.float32)
+    img[:, :hv, :wv] = rng.standard_normal((1, hv, wv, 3)).astype(np.float32)
+    extent = jnp.array([[wv / W, hv / H]], jnp.float32)
+    with HIGH:
+        ours = np.asarray(B.resize_region_nhwc(jnp.asarray(img), h, w, extent))
+    t = torch.from_numpy(img[:, :hv, :wv].transpose(0, 3, 1, 2))
+    ref = torch.nn.functional.interpolate(
+        t, size=(h, w), mode="bilinear", align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_region_full_extent_equals_resize():
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((2, 20, 24, 3)).astype(np.float32)
+    extent = jnp.ones((2, 2), jnp.float32)
+    with HIGH:
+        a = np.asarray(B.resize_region_nhwc(jnp.asarray(img), 10, 12, extent))
+        b = np.asarray(B.resize_nhwc(jnp.asarray(img), 10, 12))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_dkm_distort_aspect_end_to_end():
+    """match_fn with masks routes through the distort-aspect protocol and
+    returns keypoints inside the original (unresized) image bounds."""
+    from gim_tpu import api
+    from gim_tpu.config import GimConfig, replace
+
+    cfg = GimConfig()
+    cfg = replace(cfg, dkm=replace(
+        cfg.dkm, h_resized=48, w_resized=64, upsample_res=(96, 128),
+        num_samples=64))
+    rng = jax.random.PRNGKey(0)
+    variables = M.init_params(rng, cfg.dkm, input_hw=(48, 64))
+    S = 64
+    img = jax.random.uniform(rng, (1, 3, S, S))
+    mask = np.zeros((1, S, S), bool)
+    mask[:, :48, :64] = True              # valid 48x64 rect
+    mask1 = np.zeros((1, S, S), bool)
+    mask1[:, :32, :64] = True
+    scale0 = jnp.array([[2.0, 2.0]])      # original was 128x96
+    scale1 = jnp.array([[2.0, 2.0]])
+    with HIGH:
+        res = api.match_fn("gim_dkm", cfg, variables, img, img,
+                           scale0, scale1, jnp.asarray(mask),
+                           jnp.asarray(mask1))
+    k0 = np.asarray(res.kpts0)[np.asarray(res.valid)]
+    k1 = np.asarray(res.kpts1)[np.asarray(res.valid)]
+    assert (k0[:, 0] <= 64 * 2 + 1e-3).all() and (k0[:, 1] <= 48 * 2 + 1e-3).all()
+    assert (k1[:, 0] <= 64 * 2 + 1e-3).all() and (k1[:, 1] <= 32 * 2 + 1e-3).all()
+    assert (k0 >= -1e-3).all() and (k1 >= -1e-3).all()

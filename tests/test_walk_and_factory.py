@@ -86,3 +86,58 @@ def test_remove_static_matches():
     k1 = np.array([[10.2, 10.1], [80.0, 90.0]], np.float32)
     keep = remove_static_matches(k0, k1)
     assert not keep[0] and keep[1]
+
+
+def _write_synth_video(path, n_frames=40, w=128, h=96):
+    """Moving-texture mp4: per-frame horizontal shift of a fixed pattern."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w * 2, 3), np.uint8).astype(np.float32),
+        (0, 0), 1.2).astype(np.uint8)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for i in range(n_frames):
+        vw.write(base[:, i:i + w])
+    vw.release()
+
+
+def test_factory_resize_round(tmp_path):
+    """Zoom-in resize round (ref video_preprocessor.py:285-330): the
+    rT store's labels come from crops around the rF cache's match bboxes
+    and map back to true video pixels."""
+    from gim_tpu.cli.video_preprocessor import process_video, store_name
+    from gim_tpu.data.walk import LabelStore
+    from os.path import join
+    import shutil
+
+    video = join(str(tmp_path), "vid.mp4")
+    _write_synth_video(video)
+    root = join(str(tmp_path), "labels")
+
+    s1 = process_video(video, root, "root_sift", skip=8, max_pairs=3,
+                       min_matches=8)
+    n_f = sum(1 for (i, j, n) in s1._index if n > 0)
+    assert n_f >= 2, "no-resize round produced no labels"
+
+    # the rT round keys its crops off the gim_dkm rF cache; reuse the
+    # root_sift labels as that cache for the test
+    seq = "vid"
+    shutil.copytree(join(root, seq, store_name("root_sift", 8, False)),
+                    join(root, seq, store_name("gim_dkm", 8, False)))
+
+    s2 = process_video(video, root, "root_sift", skip=8, max_pairs=3,
+                       min_matches=8, resize=True)
+    labs = [s2.load(i, j) for (i, j, n) in s2._index if n > 0]
+    assert labs, "resize round produced no labels"
+    for lab in labs:
+        # labels live in true-video pixel bounds
+        assert (lab[:, 0] <= 128).all() and (lab[:, 1] <= 96).all()
+        assert (lab >= 0).all()
+
+
+def test_store_name_matches_reference_matrix():
+    from gim_tpu.cli.video_preprocessor import store_name
+
+    assert store_name("gim_dkm", 20, False) == "gim_dkm_s20_rF"
+    assert store_name("gim_loftr", 40, True) == "gim_loftr_s40_rT"

@@ -15,7 +15,9 @@ import time
 os.environ.setdefault("GIM_TPU_COMPILE_CACHE", "/tmp/gim_tpu_compile_cache")
 
 A100_PYTORCH_PAIRS_PER_SEC = 5.0
-IMG = 832  # 840 rounded to /64 for clean MXU tiling; same token regime
+# 840 rounded to /64 for clean MXU tiling; KITTI eval is 1240 (-> 1216),
+# ETH3D 1600 (ref TEST_GIM_DKM.sh:3-14) — override via GIM_TPU_BENCH_IMG
+IMG = int(os.environ.get("GIM_TPU_BENCH_IMG", "832"))
 MODEL = os.environ.get("GIM_TPU_BENCH_MODEL", "gim_loftr")
 BATCH = int(os.environ.get("GIM_TPU_BENCH_BATCH",
                            "8" if MODEL == "gim_loftr" else "16"))
@@ -39,10 +41,12 @@ def main():
     if MODEL == "gim_loftr":
         from gim_tpu.models.loftr import init_params
 
-        # dense matching wins at bs8 on v5e (fits in HBM and XLA's fused
-        # softmax beats our kernel's VPU exp cost; the Pallas fused path
-        # is for memory-constrained larger L or bigger batches)
-        fused = os.environ.get("GIM_TPU_BENCH_FUSED", "0") == "1"
+        # dense matching wins at bs8/832px on v5e (fits in HBM and XLA's
+        # fused softmax beats our kernel's VPU exp cost); at >= 1200px the
+        # L x S conf matrix no longer fits (1600px: L = 40k -> 6.4 GB/pair)
+        # so the Pallas fused kernel takes over automatically.
+        fused = os.environ.get(
+            "GIM_TPU_BENCH_FUSED", "1" if IMG >= 1200 else "0") == "1"
         cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
                                           fused_matching=fused))
         variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))

@@ -22,3 +22,20 @@ import jax  # noqa: E402
 # route silently left the whole suite running over the TPU tunnel).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Compiles in this environment are expensive (1 CPU core; the axon runtime
+# may even relay compilation) — persist them so repeated suite runs only
+# pay once.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GIM_TPU_TEST_CACHE",
+                                     "/tmp/gim_tpu_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
+# Suite runtime note: XLA compiles in this container are served by a
+# SERIAL remote compile relay with high and variable latency; heavy
+# full-model tests are marked `slow`. A quick pass is
+# `pytest tests/ -m "not slow" -q`; the full suite benefits from the
+# persistent compilation cache after its first run.

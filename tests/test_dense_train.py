@@ -2,6 +2,7 @@
 pseudo-labels (the WALK supervision contract — VERDICT round-1 item 6)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def test_scatter_sparse_warp():
         [2 * 24.5 / 64 - 1, 2 * 8.5 / 64 - 1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dkm_train_step_decreases_loss():
     cfg = GimConfig()
     cfg = replace(cfg, dkm=replace(cfg.dkm, h_resized=32, w_resized=32,
@@ -51,6 +53,7 @@ def test_dkm_train_step_decreases_loss():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_roma_train_step_decreases_loss():
     cfg = GimConfig()
     # decoder_dim must equal the token dim (512 gp + 512 proj)

@@ -210,14 +210,15 @@ def test_usac_magsac_parity_grid(inlier_ratio, noise_px, n):
         assert ours < 10.0, ours
 
 
+@pytest.mark.slow
 def test_prosac_confidence_ordering_rescues_low_inlier():
     """At 15% inliers uniform sampling struggles; confidence-ordered
     (PROSAC) sampling with informative confidences recovers the pose —
     the mechanism the reference gets from OpenCV USAC (VERDICT item 1)."""
     rng = np.random.default_rng(42)
     errs = []
-    for s in range(6):
-        p0, p1, K, R, t = _make_scene(rng, 1000, 0.15, 0.5)
+    for s in range(3):
+        p0, p1, K, R, t = _make_scene(rng, 600, 0.15, 0.5)
         # synthetic confidence: noisy but correlated with inlier-ness
         # (recompute inlier mask from epipolar residual of the true E)
         E = _skew(t / np.linalg.norm(t)) @ R

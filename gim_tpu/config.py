@@ -120,6 +120,9 @@ class RoMaConfig:
     # (ref trainer/lightning.py:124-130) and distorts the rectangle to its
     # square model resolution.
     distort_aspect: bool = True
+    # DINOv2 trunk depth (24 = ViT-L/14, the reference model). Only tests
+    # shrink it — full-depth compiles are hour-class on this host.
+    dino_depth: int = 24
 
 
 @dataclass(frozen=True)

@@ -72,8 +72,23 @@ def dump_path(out_dir: str, weight: str, scene: str, version: str) -> str:
     return join(out_dir, f"[T] {weight} {scene:>15} {version}.txt")
 
 
+# The reference's RANSAC zoo (ref test.py:51-59) maps OpenCV estimator
+# variants onto our single on-chip implementation as presets:
+# (num_hypotheses, use match confidences for PROSAC ordering).
+RANSAC_ZOO = {
+    "RANSAC": (2048, False),
+    "FAST": (512, False),
+    "MAGSAC": (2048, True),      # sigma-marginalized scoring is always on
+    "PROSAC": (2048, True),
+    "DEFAULT": (2048, False),
+    "ACCURATE": (4096, True),
+    "PARALLEL": (2048, True),
+}
+
+
 def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
-             num_hypotheses: int = 2048, progress: bool = True):
+             num_hypotheses: int = 2048, progress: bool = True,
+             use_conf: bool = True):
     """Run `match(batch) -> MatchResult` over an iterable of batches and
     collect per-pair metric rows (host dicts).
 
@@ -89,7 +104,8 @@ def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
         m = pair_metrics(res.kpts0, res.kpts1, res.valid,
                          jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]),
                          jnp.asarray(batch["T_0to1"]), sub,
-                         ransac_thresh, num_hypotheses, conf=res.conf)
+                         ransac_thresh, num_hypotheses,
+                         conf=res.conf if use_conf else None)
         m = jax.device_get(m)
         valid = np.asarray(res.valid)
         B = valid.shape[0]

@@ -192,7 +192,7 @@ class RoMaMatcher(nn.Module):
 
     def setup(self):
         self.vgg = VGG19(train=False, dtype=self.cfg.dtype, name="vgg")
-        self.dino = DinoViT(name="dino")
+        self.dino = DinoViT(depth=self.cfg.dino_depth, name="dino")
         self.decoder = RoMaDecoder(self.cfg, self.train, name="decoder")
 
     def pyramids(self, q, s, upsample: bool):

@@ -56,10 +56,12 @@ def test_dkm_train_step_decreases_loss():
 @pytest.mark.slow
 def test_roma_train_step_decreases_loss():
     cfg = GimConfig()
-    # decoder_dim must equal the token dim (512 gp + 512 proj)
+    # decoder_dim must equal the token dim (512 gp + 512 proj);
+    # dino_depth 2 keeps the compile tractable (full ViT-L init compiles
+    # are hour-class on this host's remote compile relay)
     cfg = replace(cfg, roma=replace(cfg.roma, coarse_res=56,
                                     upsample_res=(112, 112),
-                                    num_decoder_blocks=1,
+                                    num_decoder_blocks=1, dino_depth=2,
                                     upsample_preds=False))
     from gim_tpu.models.roma import init_params
 

@@ -116,6 +116,11 @@ def main(argv=None):
                    help="generate a synthetic two-plane benchmark first")
     p.add_argument("--overwrite", action="store_true",
                    help="re-run even if the dump file already exists")
+    p.add_argument("--ransac", default="MAGSAC",
+                   choices=["RANSAC", "FAST", "MAGSAC", "PROSAC", "DEFAULT",
+                            "ACCURATE", "PARALLEL"],
+                   help="RANSAC-zoo preset (ref test.py:51-59) mapped onto "
+                        "the on-chip solver")
     args = p.parse_args(argv)
 
     from gim_tpu.data import zeb as Z
@@ -173,8 +178,10 @@ def main(argv=None):
                                                     args.padding)
                                  for c in chunk])
 
+    n_hyp, use_conf = E.RANSAC_ZOO[args.ransac]
     t0 = time.time()
-    rows = E.evaluate(match, batches())
+    rows = E.evaluate(match, batches(), num_hypotheses=n_hyp,
+                      use_conf=use_conf)
     dt = time.time() - t0
     rows = E.gather_rows_multihost(rows)
     rows_u = E.dedup_rows(rows)

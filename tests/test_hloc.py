@@ -80,3 +80,16 @@ def test_pairs_and_names():
     pairs = pairs_from_exhaustive(names)
     assert len(pairs) == 3
     assert names_to_pair("x/a.png", "b.png") == "x-a.png/b.png"
+
+
+def test_mvs_shell_commands(tmp_path):
+    """MVS follow-up mirrors reconstruction.sh:7-20 conventions."""
+    from gim_tpu.cli.reconstruction_mvs import run_mvs
+
+    cmds = run_mvs(str(tmp_path), "room", "gim_dkm", dry_run=True)
+    assert len(cmds) == 3
+    assert cmds[0][1] == "image_undistorter"
+    assert cmds[1][1] == "patch_match_stereo"
+    assert cmds[2][1] == "stereo_fusion"
+    assert cmds[0][3].endswith("inputs/room/images")
+    assert cmds[2][-1].endswith("outputs/room/gim_dkm/dense/dense.ply")

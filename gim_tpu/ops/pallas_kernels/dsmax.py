@@ -4,26 +4,29 @@ The LoFTR coarse matcher needs, for features f0 (L, C) and f1 (S, C):
     conf = softmax_rows(sim) * softmax_cols(sim),  sim = f0 f1^T / T
 followed by row-wise argmax/max (and the transposed side for the mutual
 check). Materializing conf costs L*S floats of HBM (486 MB at 840px,
-several round trips). This kernel streams sim tiles out of MXU matmul
-passes and never writes the matrix.
+6.4 GB at 1600px, several round trips). This kernel streams sim tiles out
+of MXU matmul passes and never writes the matrix.
 
-Layout: 2-D grid (row tiles, column tiles), column axis iterating fastest,
-outputs indexed by row tile only — the accumulator blocks stay resident in
-VMEM across the column sweep (flash-attention style online rescaling), and
-each step holds just one (BL, C) x (BS, C) tile pair, so VMEM use is
-constant in L, S and batch (the bs>1 path vmaps into the grid).
+Layout: 2-D grid (row tiles, column tiles), column axis iterating fastest.
+Each sweep computes every sim tile ONCE and serves BOTH sides of the dual
+softmax (round-1 ran four sweeps — separate row/col stats and row/col
+argmax passes; merging them halves the MXU work):
 
-- `_stats_kernel`: online max/sum of exp per row. Called twice (once
-  transposed) for row and column stats.
+- `_stats_kernel`: row-side online max/sum-of-exp live in VMEM-resident
+  accumulator blocks (flash-attention style, indexed by row tile only);
+  col-side per-tile max/sum partials are written to (L/BL, S) buffers
+  (indexed by both grid axes — no block revisiting) and tree-reduced by
+  XLA outside the kernel.
 - `_argmax_kernel`: recomputes sim tiles and maximizes conf IN THE LOG
-  DOMAIN: log conf_ij = 2*s_ij - rowterm_i - colterm_j with
-  rowterm = rmax + log rsum (resp. colterm) — the row term is constant per
-  row, so the sweep is a biased-sim max/argmax with NO transcendentals
-  (the winner's conf value is exponentiated once outside). Called twice
-  for the mutual check.
+  DOMAIN on both sides at once: log conf_ij = 2*s_ij - rowterm_i -
+  colterm_j with rowterm = rmax + log rsum (resp. colterm). The row term
+  is constant per row and the col term per column, so each side is a
+  biased-sim max/argmax with NO transcendentals (the winner's conf is
+  exponentiated once outside). Row side resident, col side via partials.
 
-Cost: 4 MXU sweeps of L*S*C MACs, zero conf-matrix HBM traffic, exp only
-in the two stats sweeps. Interpret mode keeps CPU tests exact.
+Cost: 2 MXU sweeps of L*S*C MACs, zero conf-matrix HBM traffic, exp only
+in the stats sweep; partial buffers are O(L/BL * S) — trivial next to the
+L*S matrix this replaces. Interpret mode keeps CPU tests exact.
 """
 
 from __future__ import annotations
@@ -42,48 +45,69 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _stats_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, max_ref, sum_ref):
-    """Grid (i, j): f0 block (BL, C), f1 block (BS, C), mask (1, BS);
-    accumulates max/sum (BL, 1) across the j sweep."""
+def _stats_kernel(f0_ref, f1_ref, inv_t_ref, m0_ref, m1_ref,
+                  rmax_ref, rsum_ref, cpmax_ref, cpsum_ref):
+    """Grid (i, j): f0 block (BL, C), f1 block (BS, C), m0 (1, BL),
+    m1 (1, BS). Row stats (BL, 1) accumulate across the j sweep; col
+    partials (1, BS) are per-tile outputs."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        max_ref[:] = jnp.full_like(max_ref, NEG)
-        sum_ref[:] = jnp.zeros_like(sum_ref)
+        rmax_ref[:] = jnp.full_like(rmax_ref, NEG)
+        rsum_ref[:] = jnp.zeros_like(rsum_ref)
 
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32) * inv_t_ref[0]
-    sim = jnp.where(mask1_ref[:] > 0, sim, NEG)   # (BL, BS) via (1, BS)
-    tile_max = jnp.max(sim, axis=1, keepdims=True)
-    m_old = max_ref[:]
+
+    # row side: mask columns
+    sim_r = jnp.where(m1_ref[:] > 0, sim, NEG)    # (BL, BS) via (1, BS)
+    tile_max = jnp.max(sim_r, axis=1, keepdims=True)
+    m_old = rmax_ref[:]
     m_new = jnp.maximum(m_old, tile_max)
-    sum_ref[:] = (sum_ref[:] * jnp.exp(m_old - m_new)
-                  + jnp.sum(jnp.exp(sim - m_new), axis=1, keepdims=True))
-    max_ref[:] = m_new
+    rsum_ref[:] = (rsum_ref[:] * jnp.exp(m_old - m_new)
+                   + jnp.sum(jnp.exp(sim_r - m_new), axis=1, keepdims=True))
+    rmax_ref[:] = m_new
+
+    # col side: mask rows, emit per-tile partials
+    sim_c = jnp.where(m0_ref[:].T > 0, sim, NEG)  # (BL, BS) via (BL, 1)
+    cmax_t = jnp.max(sim_c, axis=0, keepdims=True)       # (1, BS)
+    cpmax_ref[:] = cmax_t[None]                          # (1, 1, BS)
+    cpsum_ref[:] = jnp.sum(jnp.exp(sim_c - cmax_t), axis=0,
+                           keepdims=True)[None]
 
 
-def _argmax_kernel(f0_ref, f1_ref, inv_t_ref, mask1_ref, colterm_ref,
-                   best_ref, val_ref, *, block_s: int):
-    """Grid (i, j): per-row max/argmax of (2*sim - colterm_j) — the
-    log-domain conf up to the row-constant term. No transcendentals."""
+def _argmax_kernel(f0_ref, f1_ref, inv_t_ref, m0_ref, m1_ref, colterm_ref,
+                   rowterm_ref, jbest_ref, jval_ref, ipidx_ref, ipval_ref,
+                   *, block_s: int, block_l: int):
+    """Grid (i, j): both-sided log-domain conf max/argmax from one sim
+    tile. Row side (biased by colterm) resident across j; col side
+    (biased by rowterm) as per-tile partials."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        best_ref[:] = jnp.zeros_like(best_ref)
-        val_ref[:] = jnp.full_like(val_ref, NEG)
+        jbest_ref[:] = jnp.zeros_like(jbest_ref)
+        jval_ref[:] = jnp.full_like(jval_ref, NEG)
 
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32) * inv_t_ref[0]
-    biased = 2.0 * sim - colterm_ref[:]
-    biased = jnp.where(mask1_ref[:] > 0, biased, NEG)
-    tile_v = jnp.max(biased, axis=1, keepdims=True)
-    tile_j = (jnp.argmax(biased, axis=1).astype(jnp.int32)[:, None]
+
+    # row side: argmax_j of 2*sim - colterm_j
+    biased_r = jnp.where(m1_ref[:] > 0, 2.0 * sim - colterm_ref[:], NEG)
+    tile_v = jnp.max(biased_r, axis=1, keepdims=True)
+    tile_j = (jnp.argmax(biased_r, axis=1).astype(jnp.int32)[:, None]
               + j * block_s)
-    upd = tile_v > val_ref[:]
-    val_ref[:] = jnp.where(upd, tile_v, val_ref[:])
-    best_ref[:] = jnp.where(upd, tile_j, best_ref[:])
+    upd = tile_v > jval_ref[:]
+    jval_ref[:] = jnp.where(upd, tile_v, jval_ref[:])
+    jbest_ref[:] = jnp.where(upd, tile_j, jbest_ref[:])
+
+    # col side: argmax_i of 2*sim - rowterm_i, per-tile partials
+    biased_c = jnp.where(m0_ref[:].T > 0, 2.0 * sim - rowterm_ref[:].T, NEG)
+    ipval_ref[:] = jnp.max(biased_c, axis=0, keepdims=True)[None]  # (1,1,BS)
+    ipidx_ref[:] = (jnp.argmax(biased_c, axis=0)
+                    .astype(jnp.int32)[None, None] + i * block_l)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -91,19 +115,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "block_s"))
-def _stats(f0, f1, inv_t, mask1, block_l=256, block_s=256):
+def _stats(f0, f1, inv_t, m0, m1, block_l=256, block_s=256):
     L, C = f0.shape
     S = f1.shape[0]
-    grid = (L // block_l, S // block_s)
+    gi, gj = L // block_l, S // block_s
     return pl.pallas_call(
         _stats_kernel,
-        grid=grid,
+        grid=(gi, gj),
         in_specs=[
             pl.BlockSpec((block_l, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_s, C), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_l), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -111,32 +137,43 @@ def _stats(f0, f1, inv_t, mask1, block_l=256, block_s=256):
             pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((L, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((L, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((gi, 1, S), jnp.float32),
+                   jax.ShapeDtypeStruct((gi, 1, S), jnp.float32)],
         interpret=_interpret(),
-    )(f0, f1, inv_t, mask1)
+    )(f0, f1, inv_t, m0, m1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "block_s"))
-def _argmax(f0, f1, inv_t, mask1, colterm_row, block_l=256, block_s=256):
-    """colterm_row: (1, S) = cmax + log(csum) per column (0 where masked)."""
+def _argmax(f0, f1, inv_t, m0, m1, colterm_row, rowterm_row,
+            block_l=256, block_s=256):
+    """colterm_row: (1, S); rowterm_row: (1, L) (0 where masked)."""
     L, C = f0.shape
     S = f1.shape[0]
-    grid = (L // block_l, S // block_s)
+    gi, gj = L // block_l, S // block_s
     return pl.pallas_call(
-        functools.partial(_argmax_kernel, block_s=block_s),
-        grid=grid,
+        functools.partial(_argmax_kernel, block_s=block_s, block_l=block_l),
+        grid=(gi, gj),
         in_specs=[
             pl.BlockSpec((block_l, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_s, C), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_l), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -144,11 +181,17 @@ def _argmax(f0, f1, inv_t, mask1, colterm_row, block_l=256, block_s=256):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_l, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.int32),
-                   jax.ShapeDtypeStruct((L, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((L, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((gi, 1, S), jnp.int32),
+                   jax.ShapeDtypeStruct((gi, 1, S), jnp.float32)],
         interpret=_interpret(),
-    )(f0, f1, inv_t, mask1, colterm_row)
+    )(f0, f1, inv_t, m0, m1, colterm_row, rowterm_row)
 
 
 def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
@@ -179,18 +222,33 @@ def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
     m1p = jnp.pad(m1, (0, Sp - S))[None]        # (1, Sp)
     inv_t = jnp.array([1.0 / temperature], jnp.float32)
 
-    rmax, rsum = _stats(f0p, f1p, inv_t, m1p, block, block)
-    cmax, csum = _stats(f1p, f0p, inv_t, m0p, block, block)
+    # one sweep: row stats resident + col partials
+    rmax, rsum, cpmax, cpsum = _stats(f0p, f1p, inv_t, m0p, m1p,
+                                      block, block)
+    cpmax = cpmax[:, 0]                                      # (gi, Sp)
+    cpsum = cpsum[:, 0]
+    cmax = jnp.max(cpmax, axis=0, keepdims=True)             # (1, Sp)
+    csum = jnp.sum(cpsum * jnp.exp(cpmax - cmax), axis=0,
+                   keepdims=True)                            # (1, Sp)
+
     # log-domain terms; masked slots get 0 (their sim is NEG in the sweep)
-    rowterm = jnp.where(m0p.T > 0, rmax + jnp.log(rsum), 0.0)   # (Lp, 1)
-    colterm = jnp.where(m1p.T > 0, cmax + jnp.log(csum), 0.0)   # (Sp, 1)
-    jbest, vbest = _argmax(f0p, f1p, inv_t, m1p, colterm.T, block, block)
-    ibest, _ = _argmax(f1p, f0p, inv_t, m0p, rowterm.T, block, block)
+    rowterm = jnp.where(m0p > 0, rmax.T + jnp.log(rsum.T), 0.0)   # (1, Lp)
+    colterm = jnp.where(m1p > 0, cmax + jnp.log(jnp.maximum(csum, 1e-30)),
+                        0.0)                                      # (1, Sp)
+
+    # one sweep: both-sided argmax
+    jbest, jval, ipidx, ipval = _argmax(f0p, f1p, inv_t, m0p, m1p,
+                                        colterm, rowterm, block, block)
+    # reduce col-side partials over row tiles
+    ipval = ipval[:, 0]                                      # (gi, Sp)
+    ipidx = ipidx[:, 0]
+    k = jnp.argmax(ipval, axis=0)                            # (Sp,)
+    ibest = jnp.take_along_axis(ipidx, k[None], axis=0)[0]   # (Sp,)
 
     jbest = jbest[:L, 0]
     # conf of the winner: exp once, outside the sweeps
-    conf_r = jnp.exp(vbest[:L, 0] - rowterm[:L, 0])
-    ibest = ibest[:S, 0]
+    conf_r = jnp.exp(jval[:L, 0] - rowterm[0, :L])
+    ibest = ibest[:S]
     mutual = jnp.take(ibest, jnp.clip(jbest, 0, S - 1)) == jnp.arange(L)
     valid_rows = (m0 > 0) if mask0 is not None else jnp.ones(L, bool)
     return jbest, jnp.where(valid_rows, conf_r, 0.0), mutual & valid_rows

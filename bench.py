@@ -41,12 +41,11 @@ def main():
     if MODEL == "gim_loftr":
         from gim_tpu.models.loftr import init_params
 
-        # dense matching wins at bs8/832px on v5e (fits in HBM and XLA's
-        # fused softmax beats our kernel's VPU exp cost); at >= 1200px the
-        # L x S conf matrix no longer fits (1600px: L = 40k -> 6.4 GB/pair)
-        # so the Pallas fused kernel takes over automatically.
-        fused = os.environ.get(
-            "GIM_TPU_BENCH_FUSED", "1" if IMG >= 1200 else "0") == "1"
+        # since the 2-sweep merge the fused Pallas path beats dense
+        # matching at every size (832px bs8: 27.8 vs 25.5 pairs/s) while
+        # never materializing the L x S conf matrix (6.4 GB/pair at
+        # 1600px), so it is the default everywhere.
+        fused = os.environ.get("GIM_TPU_BENCH_FUSED", "1") == "1"
         cfg = GimConfig(loftr=LoFTRConfig(max_matches=2048, dtype="bfloat16",
                                           fused_matching=fused))
         variables = init_params(jax.random.PRNGKey(0), cfg.loftr, (IMG, IMG))

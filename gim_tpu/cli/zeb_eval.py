@@ -76,9 +76,11 @@ def build_matcher(weight: str, ckpt: str | None, img_size: int,
     cap = 4096
     while cap < cells // 2 and cap < 16384:
         cap *= 2
-    if cap != cfg.loftr.max_matches:
-        cfg = cfg_replace(cfg, loftr=cfg_replace(cfg.loftr,
-                                                 max_matches=cap))
+    # the merged 2-sweep Pallas matching beats dense at every size on TPU
+    # and never materializes the L x S conf matrix (docs/PERF.md round 2)
+    cfg = cfg_replace(cfg, loftr=cfg_replace(
+        cfg.loftr, max_matches=cap,
+        fused_matching=jax.default_backend() == "tpu"))
     if ckpt:
         matcher = Matcher.from_checkpoint(weight, ckpt, cfg)
     else:

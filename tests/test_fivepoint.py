@@ -197,6 +197,7 @@ GRID = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("inlier_ratio,noise_px,n", GRID,
                          ids=[f"w{int(w * 100)}_n{s}_m{n}"
                               for w, s, n in GRID])

@@ -123,7 +123,10 @@ def test_loftr_weight_port_roundtrip_structure():
     lin(rng, 256, 128, "fine_preprocess.merge_feat")
 
     variables = port.port_loftr(sd)
-    cfg = LoFTRConfig(max_matches=32)
+    # the fixture carries fine_preprocess keys (the original LoFTR
+    # outdoor_ds layout); the GIM default is concat=False (ref
+    # networks/loftr/config.py:14), so init the concat variant to match
+    cfg = LoFTRConfig(max_matches=32, fine_concat_coarse_feat=True)
     init = loftr_model.init_params(jax.random.PRNGKey(0), cfg, (32, 32))
 
     # structural identity with the initialized tree

@@ -97,40 +97,74 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
 
     x, y: (B, H, W, C); flow: (B, H, W, 2) normalized sample centers in y
     (identity grid if None). Returns (B, H, W, (2r+1)^2) in the reference's
-    (dy-major) window order. Computed in lax.map-serialized chunks of window
-    offsets sized so each (B, H, W, chunk, C) gather stays under
-    `mem_budget_bytes` (grid_sample holds ~4 corner temps of that size —
-    unbounded chunks OOM at DKM's 1152x1536 upsample pass).
+    (dy-major) window order.
+
+    The reference grid_samples (2r+1)^2 bilinear window points per pixel.
+    But the window offsets are EXACT 1-px steps (linspace(-2r/H, 2r/H, 2r+1)
+    is 2/H-normalized = 1 px under align_corners=False), so every sample in
+    a window shares one fractional part — and correlation is linear in the
+    sampled feature: <x, lerp(y)> == lerp(<x, y>). So correlate against the
+    (2r+2)^2 integer-corner positions once (ONE row-gather per corner
+    instead of grid_sample's 4), then bilinearly blend the scalar
+    correlation maps. Out-of-bounds corners are zeroed (grid_sample
+    padding_mode='zeros'). Corner chunks are lax.map-serialized so the
+    (B, H, W, chunk, C) gather stays under `mem_budget_bytes` (unbounded
+    chunks OOM at DKM's 1152x1536 upsample pass).
     """
     B, H, W, C = x.shape
     r = radius
     K = 2 * r + 1
+    Kp = K + 1
     if chunk is None:
         per_offset = B * H * W * C * 4
-        chunk = max(1, min(K * K, mem_budget_bytes // max(per_offset, 1)))
+        chunk = max(1, min(Kp * Kp, mem_budget_bytes // max(per_offset, 1)))
     if flow is None:
         flow = coords_grid(B, H, W)
-    wy = jnp.linspace(-2 * r / H, 2 * r / H, K)
-    wx = jnp.linspace(-2 * r / W, 2 * r / W, K)
-    gy, gx = jnp.meshgrid(wy, wx, indexing="ij")
-    offsets = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (K2, 2)
 
-    K2 = K * K
+    # pixel centers, align_corners=False: p = (f + 1) * S/2 - 0.5
+    px = (flow[..., 0].astype(jnp.float32) + 1.0) * (0.5 * W) - 0.5
+    py = (flow[..., 1].astype(jnp.float32) + 1.0) * (0.5 * H) - 0.5
+    ix0 = jnp.floor(px)
+    iy0 = jnp.floor(py)
+    fx = (px - ix0)[..., None]                           # (B, H, W, 1)
+    fy = (py - iy0)[..., None]
+    ix0 = ix0.astype(jnp.int32)
+    iy0 = iy0.astype(jnp.int32)
+
+    doy, dox = jnp.meshgrid(jnp.arange(-r, r + 2), jnp.arange(-r, r + 2),
+                            indexing="ij")
+    doffs = jnp.stack([doy.reshape(-1), dox.reshape(-1)], -1)  # (Kp^2, 2)
+
     scale = 1.0 / math.sqrt(C)
-    nc = -(-K2 // chunk)
-    pad = nc * chunk - K2
-    offs = jnp.pad(offsets, ((0, pad), (0, 0))).reshape(nc, chunk, 2)
+    nc = -(-(Kp * Kp) // chunk)
+    pad = nc * chunk - Kp * Kp
+    offs = jnp.pad(doffs, ((0, pad), (0, 0))).reshape(nc, chunk, 2)
+    yflat = y.reshape(B, H * W, C)
 
-    def one_chunk(off):
-        # lax.map serializes chunks — an unrolled loop lets XLA schedule all
-        # (B, H, W, chunk, C) gathers concurrently and OOMs at high res
-        pts = flow[:, :, :, None, :] + off[None, None, None]
-        feats = sample_nhwc(y, pts)                      # (B, H, W, k, C)
-        return jnp.einsum("bhwc,bhwkc->bhwk", x, feats) * scale
+    def one_chunk(off):                                  # (chunk, 2) int
+        ii = iy0[..., None] + off[None, None, None, :, 0]
+        jj = ix0[..., None] + off[None, None, None, :, 1]
+        valid = (ii >= 0) & (ii < H) & (jj >= 0) & (jj < W)
+        idx = jnp.clip(ii, 0, H - 1) * W + jnp.clip(jj, 0, W - 1)
+        # batched row gather via take_along_axis — vmap(jnp.take) scalarizes
+        # on TPU (measured 770x slower at this shape)
+        feats = jnp.take_along_axis(
+            yflat, idx.reshape(B, -1)[..., None], axis=1
+        ).reshape(B, H, W, -1, C)
+        ic = jnp.einsum("bhwc,bhwkc->bhwk", x, feats) * scale
+        return jnp.where(valid, ic, jnp.zeros((), ic.dtype))
 
-    out = jax.lax.map(one_chunk, offs)                   # (nc, B, H, W, k)
-    out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:3], nc * chunk)
-    return out[..., :K2]
+    ic = jax.lax.map(one_chunk, offs)                    # (nc, B, H, W, k)
+    ic = jnp.moveaxis(ic, 0, -2).reshape(B, H, W, nc * chunk)[..., :Kp * Kp]
+    ic = ic.reshape(B, H, W, Kp, Kp)
+
+    fx = fx.astype(ic.dtype)
+    fy = fy.astype(ic.dtype)
+    corr = ((1 - fy) * (1 - fx))[..., None] * ic[..., :K, :K] \
+        + ((1 - fy) * fx)[..., None] * ic[..., :K, 1:] \
+        + (fy * (1 - fx))[..., None] * ic[..., 1:, :K] \
+        + (fy * fx)[..., None] * ic[..., 1:, 1:]
+    return corr.reshape(B, H, W, K * K)
 
 
 def kde_density(x: jax.Array, std: float = 0.1, chunk: int = 4096) -> jax.Array:

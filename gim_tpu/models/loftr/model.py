@@ -28,7 +28,7 @@ from gim_tpu.models.loftr.transformer import (LocalFeatureTransformer,
 from gim_tpu.ops.matching import (cells_to_kpts, dual_softmax,
                                   fine_expectation, fused_mutual_topk,
                                   mutual_topk_matches)
-from gim_tpu.ops.windows import extract_windows_at
+from gim_tpu.ops.windows import extract_windows_batch
 
 
 class FinePreprocess(nn.Module):
@@ -44,9 +44,8 @@ class FinePreprocess(nn.Module):
 
         def gather_windows(feat_f, ids):
             # feat_f: (B, Hf, Wf, Cf); ids: (B, M)
-            fn = lambda f, ii: extract_windows_at(
-                jnp.transpose(f, (2, 0, 1)), ii, window=W, stride=stride)
-            return jax.vmap(fn)(feat_f, ids)       # (B, M, WW, Cf)
+            return extract_windows_batch(feat_f, ids,
+                                         window=W, stride=stride)
 
         f0 = gather_windows(feat_f0, i_ids)
         f1 = gather_windows(feat_f1, j_ids)

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gim_tpu.ops.attention import full_attention, linear_attention
+from gim_tpu.ops.attention import (full_attention, linear_attention,
+                                   linear_attention_chan)
 
 
 def sine_pos_encoding(d_model: int, h: int, w: int,
@@ -62,14 +63,21 @@ class LoFTREncoderLayer(nn.Module):
                      name="k_proj")(source)
         v = nn.Dense(self.d_model, use_bias=False, dtype=dt,
                      name="v_proj")(source)
-        q = q.reshape(B, -1, self.nhead, dim)
-        k = k.reshape(B, -1, self.nhead, dim)
-        v = v.reshape(B, -1, self.nhead, dim)
-        attn = linear_attention if self.attention == "linear" else full_attention
-        msg = attn(q, k, v, x_mask, source_mask)
-        msg = msg.astype(dt)
+        if self.attention == "linear" and source.shape[1] > 64:
+            # long-sequence (coarse) path stays in [N, L, C] layout — the
+            # [N, L, H, 32] head split pads the lane dim 4x on TPU
+            msg = linear_attention_chan(q, k, v, self.nhead,
+                                        x_mask, source_mask)
+        else:
+            q = q.reshape(B, -1, self.nhead, dim)
+            k = k.reshape(B, -1, self.nhead, dim)
+            v = v.reshape(B, -1, self.nhead, dim)
+            attn = (linear_attention if self.attention == "linear"
+                    else full_attention)
+            msg = attn(q, k, v, x_mask, source_mask)
+            msg = msg.reshape(B, -1, self.d_model)
         msg = nn.Dense(self.d_model, use_bias=False, dtype=dt,
-                       name="merge")(msg.reshape(B, -1, self.d_model))
+                       name="merge")(msg.astype(dt))
         msg = nn.LayerNorm(dtype=dt, name="norm1")(msg)
 
         msg = nn.Dense(2 * self.d_model, use_bias=False, dtype=dt,

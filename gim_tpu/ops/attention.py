@@ -36,10 +36,58 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         v = v * kv_mask[:, :, None, None]
     s = v.shape[1]
     v = v / s  # fp16/bf16 overflow guard, mirrors reference
+    if s <= 64 and q.shape[1] <= 64:
+        # short-sequence regime (LoFTR fine stage: 16k windows of 25
+        # tokens, head dim 16): the einsums are tiny batched matmuls that
+        # serialize on the MXU (~0.6 us each x 131k dispatches). The same
+        # contractions as broadcast-multiply-reduce fuse on the VPU —
+        # measured 7.6x faster at (16384, 25, 8, 16) (docs/PERF.md).
+        KV = jnp.sum(K[:, :, :, :, None] * v[:, :, :, None, :], axis=1)
+        Z = 1.0 / (jnp.sum(Q * K.sum(axis=1)[:, None], axis=-1) + eps)
+        out = jnp.sum(Q[:, :, :, :, None] * KV[:, None], axis=3)
+        return out * Z[..., None] * s
     KV = jnp.einsum("nshd,nshv->nhdv", K, v)
     Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
     out = jnp.einsum("nlhd,nhdv->nlhv", Q, KV) * Z[..., None] * s
     return out
+
+
+def linear_attention_chan(q: jax.Array, k: jax.Array, v: jax.Array,
+                          nhead: int,
+                          q_mask: jax.Array | None = None,
+                          kv_mask: jax.Array | None = None,
+                          eps: float = 1e-6) -> jax.Array:
+    """elu+1 linear attention in CHANNEL layout: q [N,L,C], k/v [N,S,C].
+
+    Same math as linear_attention, but per-head contractions are computed
+    as full C x C matmuls masked to the head-diagonal blocks:
+    (K^T V)[hd, h'v] restricted to h == h' IS the per-head KV stack, so
+    one (C, S)@(S, C) matmul + a constant 0/1 block mask + one
+    (L, C)@(C, C) matmul replace the [N,L,H,D] einsums. On TPU the
+    head-split layout pads the D=32 lane dim 4x and forces relayouts
+    around every step (round-1 "coarse transformer ~17 ms/pair" ledger
+    item); this form keeps every tensor C-minor and every matmul on full
+    MXU tiles at 8x redundant-but-masked FLOPs (still <1% of the step).
+    """
+    N, L, C = q.shape
+    D = C // nhead
+    Q = elu_feature_map(q)
+    K = elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None]
+    if kv_mask is not None:
+        K = K * kv_mask[:, :, None]
+        v = v * kv_mask[:, :, None]
+    s = v.shape[1]
+    v = v / s  # fp16/bf16 overflow guard, mirrors reference
+    hid = jnp.arange(C) // D
+    block_mask = (hid[:, None] == hid[None, :]).astype(Q.dtype)  # (C, C)
+    KV = jnp.einsum("nsc,nse->nce", K, v) * block_mask
+    num = jnp.einsum("nlc,nce->nle", Q, KV)
+    # denominator per head: segment-sum Q * sum(K) over each head's block
+    Zh = (Q * K.sum(axis=1)[:, None, :]).reshape(N, L, nhead, D).sum(-1)
+    Z = 1.0 / (Zh + eps)                                  # (N, L, H)
+    return num * jnp.repeat(Z, D, axis=-1) * s
 
 
 def full_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -156,7 +156,10 @@ def fine_expectation(feat_f0: jax.Array, feat_f1: jax.Array):
     M, WW, C = feat_f0.shape
     W = int(WW ** 0.5)
     picked = feat_f0[:, WW // 2, :]
-    sim = jnp.einsum("mc,mrc->mr", picked, feat_f1)
+    # broadcast-multiply-reduce, not einsum: "mc,mrc->mr" is M tiny
+    # (1,C)@(C,WW) matmuls that serialize on the MXU; the fused VPU
+    # reduction is ~an order of magnitude faster at M=16k (docs/PERF.md)
+    sim = jnp.sum(picked[:, None, :] * feat_f1, axis=-1)
     heatmap = jax.nn.softmax(sim / (C ** 0.5), axis=1)
 
     # normalized grid in [-1, 1] (kornia create_meshgrid semantics)

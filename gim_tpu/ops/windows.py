@@ -15,35 +15,51 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("window", "stride"))
-def extract_windows_at(feat: jax.Array, centers_ij: jax.Array, *,
-                       window: int, stride: int) -> jax.Array:
-    """Gather W*W windows from `feat` (C, H, W) around coarse cells.
+def extract_windows_batch(feat: jax.Array, centers_ij: jax.Array, *,
+                          window: int, stride: int) -> jax.Array:
+    """Gather W*W windows from `feat` (B, H, W, C) around coarse cells.
 
-    centers_ij: (M,) flattened coarse indices into an (H//stride, W//stride)
-    grid; each selects the window centered at fine-map location i*stride —
-    exactly the windows F.unfold(kernel=W, stride=stride, padding=W//2)
-    produces at each coarse cell (ref fine_preprocess.py:40-43).
-    Returns (M, window*window, C).
+    centers_ij: (B, M) flattened coarse indices into an (H//stride,
+    W//stride) grid; each selects the window centered at fine-map location
+    i*stride — exactly the windows F.unfold(kernel=W, stride=stride,
+    padding=W//2) produces at each coarse cell (ref fine_preprocess.py:40-43).
+    Returns (B, M, window*window, C).
+
+    NHWC in, NHWC rows out: ONE batched take_along_axis over (B, H*W, C)
+    rows with clamped indices, border zeros applied as a fused output mask
+    (F.unfold zero-padding semantics without materializing a padded copy
+    of the full fine map). vmap(jnp.take) at this shape scalarizes on TPU
+    (measured 770x slower), and the round-1 CHW form additionally paid two
+    full-feature-map relayouts around its pad (docs/PERF.md).
     """
-    C, H, W = feat.shape
+    B, H, W, C = feat.shape
+    M = centers_ij.shape[1]
     r = window // 2
     Wc = W // stride
     ci = (centers_ij // Wc) * stride
     cj = (centers_ij % Wc) * stride
 
-    padded = jnp.pad(feat, ((0, 0), (r, r), (r, r)))
     off = jnp.arange(-r, r + 1)
-    # window offsets relative to center; +r compensates padding
-    yy = ci[:, None, None] + off[None, :, None] + r      # (M, w, 1)
-    xx = cj[:, None, None] + off[None, None, :] + r      # (M, 1, w)
-    yy = jnp.broadcast_to(yy, (centers_ij.shape[0], window, window))
-    xx = jnp.broadcast_to(xx, (centers_ij.shape[0], window, window))
-    idx = (yy * (W + 2 * r) + xx).reshape(-1)            # (M*w*w,)
-    # gather ROWS of (P, C) — leading-dim gathers lower efficiently on TPU,
-    # minor-dim fancy indexing degenerates to scalar dynamic-slices
-    flat = jnp.transpose(padded, (1, 2, 0)).reshape(-1, C)
-    out = jnp.take(flat, idx, axis=0)                    # (M*w*w, C)
-    return out.reshape(-1, window * window, C)
+    yy = ci[:, :, None, None] + off[None, None, :, None]      # (B, M, w, 1)
+    xx = cj[:, :, None, None] + off[None, None, None, :]      # (B, M, 1, w)
+    yy = jnp.broadcast_to(yy, (B, M, window, window))
+    xx = jnp.broadcast_to(xx, (B, M, window, window))
+    valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    idx = (jnp.clip(yy, 0, H - 1) * W
+           + jnp.clip(xx, 0, W - 1)).reshape(B, -1)      # (B, M*w*w)
+    flat = feat.reshape(B, -1, C)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, M*w*w, C)
+    out = out * valid.reshape(B, -1, 1).astype(out.dtype)
+    return out.reshape(B, M, window * window, C)
+
+
+def extract_windows_at(feat: jax.Array, centers_ij: jax.Array, *,
+                       window: int, stride: int) -> jax.Array:
+    """Single-image CHW form: feat (C, H, W), centers_ij (M,) ->
+    (M, window*window, C)."""
+    return extract_windows_batch(jnp.transpose(feat, (1, 2, 0))[None],
+                                 centers_ij[None],
+                                 window=window, stride=stride)[0]
 
 
 def unfold_nchw(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:

@@ -88,6 +88,29 @@ def test_sample_descriptors_matches_reference_formulas():
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_linear_attention_chan_matches_head_split():
+    """Block-diag channel-layout form == head-split form (the coarse
+    transformer's layout-free path)."""
+    rng = np.random.default_rng(5)
+    N, L, S, Hh, D = 2, 70, 68, 4, 8
+    C = Hh * D
+    q = rng.standard_normal((N, L, C)).astype(np.float32)
+    k = rng.standard_normal((N, S, C)).astype(np.float32)
+    v = rng.standard_normal((N, S, C)).astype(np.float32)
+    qm = (rng.random((N, L)) > 0.2)
+    km = (rng.random((N, S)) > 0.2)
+    with jax.default_matmul_precision("highest"):
+        chan = np.asarray(A.linear_attention_chan(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), Hh,
+            jnp.asarray(qm), jnp.asarray(km)))
+        split = np.asarray(A.linear_attention(
+            jnp.asarray(q).reshape(N, L, Hh, D),
+            jnp.asarray(k).reshape(N, S, Hh, D),
+            jnp.asarray(v).reshape(N, S, Hh, D),
+            jnp.asarray(qm), jnp.asarray(km))).reshape(N, L, C)
+    np.testing.assert_allclose(chan, split, atol=1e-5)
+
+
 def test_linear_attention_matches_reference_math():
     rng = np.random.default_rng(3)
     q = rng.standard_normal((2, 7, 4, 8)).astype(np.float32)
@@ -181,6 +204,28 @@ def test_unfold_matches_torch():
     ref = torch.nn.functional.unfold(
         torch.from_numpy(x), kernel_size=5, stride=4, padding=2).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_extract_windows_batch_matches_unfold():
+    """extract_windows_batch at coarse cells == F.unfold(k=W, stride=2,
+    pad=W//2) columns at those cells (ref fine_preprocess.py:40-48)."""
+    rng = np.random.default_rng(11)
+    B, C, H, Wd = 2, 4, 12, 16
+    win, stride = 5, 2
+    x = rng.standard_normal((B, C, H, Wd)).astype(np.float32)
+    n_cells = (H // stride) * (Wd // stride)
+    ids = np.stack([rng.permutation(n_cells)[:7] for _ in range(B)])
+    ours = W.extract_windows_batch(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(ids),
+        window=win, stride=stride)
+    ref = torch.nn.functional.unfold(
+        torch.from_numpy(x), kernel_size=win, stride=stride,
+        padding=win // 2).numpy()                  # (B, C*win*win, n_cells)
+    ref = ref.reshape(B, C, win * win, n_cells)
+    for b in range(B):
+        refb = ref[b][:, :, ids[b]]                # (C, win*win, 7)
+        np.testing.assert_allclose(
+            np.asarray(ours)[b], np.transpose(refb, (2, 1, 0)), atol=1e-6)
 
 
 def test_filter_matches_mutual():

@@ -54,6 +54,22 @@ def test_local_correlation_matches_reference():
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+def test_local_correlation_identity_flow_matches_reference():
+    """flow=None (identity grid, the corr_in_other=False path): samples land
+    on exact integer pixels (frac 0); windows clip at every border."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 5, 6)).astype(np.float32)  # NCHW
+    y = rng.standard_normal((1, 8, 5, 6)).astype(np.float32)
+    ref = _torch_local_correlation(torch.from_numpy(x), torch.from_numpy(y),
+                                   2, None).numpy()
+    with HIGH:
+        ours = B.local_correlation(
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+            jnp.transpose(jnp.asarray(y), (0, 2, 3, 1)), 2)
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 def test_coords_grid_matches_torch_convention():
     g = np.asarray(B.coords_grid(1, 4, 6))[0]   # (h, w, 2) xy
     ys = np.linspace(-1 + 1 / 4, 1 - 1 / 4, 4)

@@ -42,7 +42,7 @@ def main():
         from gim_tpu.models.loftr import init_params
 
         # since the 2-sweep merge the fused Pallas path beats dense
-        # matching at every size (832px bs8: 27.8 vs 25.5 pairs/s) while
+        # matching at every size (832px bs8: 29.1 vs 25.5 pairs/s) while
         # never materializing the L x S conf matrix (6.4 GB/pair at
         # 1600px), so it is the default everywhere.
         fused = os.environ.get("GIM_TPU_BENCH_FUSED", "1") == "1"

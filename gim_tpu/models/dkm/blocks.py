@@ -18,11 +18,13 @@ match target, stored NHWC as (B, H, W, 2).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gim_tpu.ops.sampling import grid_sample
 from gim_tpu.utils import highp
@@ -87,6 +89,20 @@ def sample_nhwc(img: jax.Array, coords: jax.Array,
     out = grid_sample(chw, pts, align_corners=False,
                       padding_mode=padding_mode)      # (B, C, P)
     return jnp.transpose(out, (0, 2, 1)).reshape(B, *lead, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_selectors(K: int):
+    """4 constant (Kp^2, K^2) 0/1 matrices picking each bilinear corner of
+    every window offset out of the integer-corner correlation grid
+    (Kp = K + 1). Numpy so lazy construction can't leak tracers."""
+    Kp = K + 1
+    sels = np.zeros((4, Kp * Kp, K * K), np.float32)
+    for dy in range(K):
+        for dx in range(K):
+            for c, (cy, cx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                sels[c, (dy + cy) * Kp + (dx + cx), dy * K + dx] = 1.0
+    return tuple(sels)
 
 
 def local_correlation(x: jax.Array, y: jax.Array, radius: int,
@@ -156,15 +172,25 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
 
     ic = jax.lax.map(one_chunk, offs)                    # (nc, B, H, W, k)
     ic = jnp.moveaxis(ic, 0, -2).reshape(B, H, W, nc * chunk)[..., :Kp * Kp]
-    ic = ic.reshape(B, H, W, Kp, Kp)
 
+    # blend the 4 corner maps per output offset as constant 0/1 selection
+    # matmuls on the FLAT (.., Kp^2) layout — a (.., Kp, Kp) view would put
+    # a <=16-wide dim on the 128-lane axis (measured 1.7x slower end to
+    # end on DKM full-res)
+    sel = _corner_selectors(K)
     fx = fx.astype(ic.dtype)
     fy = fy.astype(ic.dtype)
-    corr = ((1 - fy) * (1 - fx))[..., None] * ic[..., :K, :K] \
-        + ((1 - fy) * fx)[..., None] * ic[..., :K, 1:] \
-        + (fy * (1 - fx))[..., None] * ic[..., 1:, :K] \
-        + (fy * fx)[..., None] * ic[..., 1:, 1:]
-    return corr.reshape(B, H, W, K * K)
+
+    def pick(c):
+        # HIGHEST: pure data movement through a 0/1 matrix — default TPU
+        # matmul precision would truncate f32 correlations to bf16
+        return jnp.einsum("bhwk,kl->bhwl", ic,
+                          jnp.asarray(sel[c], ic.dtype),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    corr = ((1 - fy) * (1 - fx)) * pick(0) + ((1 - fy) * fx) * pick(1) \
+        + (fy * (1 - fx)) * pick(2) + (fy * fx) * pick(3)
+    return corr
 
 
 def kde_density(x: jax.Array, std: float = 0.1, chunk: int = 4096) -> jax.Array:

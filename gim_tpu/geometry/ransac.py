@@ -188,7 +188,9 @@ def _sample_minimal(key: jax.Array, valid: jax.Array, num_hyp: int,
     allowed = pos[None, :] < n_h[:, None]
     noise = jnp.where(allowed, noise, -1.0)
     _, sidx = jax.lax.top_k(noise, sample_size)       # sorted positions
-    return order[sidx]
+    # order[sidx] as take_along_axis (fancy indexing scalarizes on TPU)
+    return jnp.take_along_axis(order[None, :].repeat(sidx.shape[0], 0),
+                               sidx, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -273,12 +275,20 @@ def ransac(p0: jax.Array, p1: jax.Array, valid: jax.Array, key: jax.Array,
         """Sample n_hyp minimal sets, solve, score all candidates in
         memory-bounded chunks. Returns (best_gain, best_model)."""
         idx = _sample_minimal(skey, valid, n_hyp, sample_size, sample_conf)
+
+        def rows(pts, ii):
+            # take_along_axis: leading-dim fancy indexing with a 2-D index
+            # scalarizes on TPU (docs/PERF.md 1-D/row gather measurements)
+            out = jnp.take_along_axis(pts, ii.reshape(-1)[:, None], axis=0)
+            return out.reshape(*ii.shape, pts.shape[-1])
+
         if essential:
-            cand, cand_valid = essential_candidates(p0[idx], p1[idx])
+            cand, cand_valid = essential_candidates(rows(p0, idx),
+                                                    rows(p1, idx))
             models = cand.reshape(-1, 3, 3)           # (H*10, 3, 3)
             mvalid = cand_valid.reshape(-1)
         else:
-            s0, s1 = q0[idx], q1[idx]                 # (H, k, 2)
+            s0, s1 = rows(q0, idx), rows(q1, idx)     # (H, k, 2)
             ones = jnp.ones(idx.shape, jnp.float32)
             if homog:
                 models = denorm(solve_homography_raw(s0, s1, ones))

@@ -228,9 +228,15 @@ def sample_matches(key: jax.Array, warp: jax.Array, certainty: jax.Array,
     logp = jnp.log(jnp.maximum(cert, 1e-12))
     g = logp + jax.random.gumbel(k1, logp.shape)
     _, idx = jax.lax.top_k(g, n_grab)
-    good_matches = matches[idx]
-    good_cert = cert_raw[idx]
-    good_w = cert[idx]
+
+    def take1d(a, i):
+        # flat 1-D fancy indexing scalarizes on TPU (22.8 s vs 2.5 ms for
+        # a 40k gather, docs/PERF.md); take_along_axis lowers efficiently
+        return jnp.take_along_axis(a[None], i[None], axis=1)[0]
+
+    good_matches = jnp.take_along_axis(matches, idx[:, None], axis=0)
+    good_cert = take1d(cert_raw, idx)
+    good_w = take1d(cert, idx)
 
     if "balanced" not in mode:
         return good_matches[:num], good_cert[:num], good_w[:num] > 0
@@ -240,7 +246,8 @@ def sample_matches(key: jax.Array, warp: jax.Array, certainty: jax.Array,
     p = jnp.where(density < 10, 1e-7, p)
     g2 = jnp.log(jnp.maximum(p, 1e-30)) + jax.random.gumbel(k2, p.shape)
     _, idx2 = jax.lax.top_k(g2, num)
-    return good_matches[idx2], good_cert[idx2], good_w[idx2] > 0
+    return (jnp.take_along_axis(good_matches, idx2[:, None], axis=0),
+            take1d(good_cert, idx2), take1d(good_w, idx2) > 0)
 
 
 def warp_to_pixels(matches: jax.Array, hs: int, ws: int):

@@ -109,7 +109,10 @@ def cls_to_flow_refine(cls_logits: jax.Array) -> jax.Array:
                     axis=-1)
     idx = jnp.clip(idx, 0, C - 1)
     neigh = jnp.take_along_axis(probs, idx.reshape(B, H, W, 5), axis=-1)
-    anchors = G[idx]                                    # (B, H, W, 5, 2)
+    # take_along_axis row gather (leading-dim fancy indexing with an N-D
+    # index scalarizes on TPU, docs/PERF.md)
+    anchors = jnp.take_along_axis(
+        G, idx.reshape(-1)[:, None], axis=0).reshape(B, H, W, 5, 2)
     flow = jnp.sum(neigh[..., None] * anchors, axis=-2)
     return flow / jnp.sum(neigh, axis=-1, keepdims=True)
 

@@ -249,6 +249,10 @@ def dual_softmax_mutual(f0: jax.Array, f1: jax.Array, temperature: float,
     # conf of the winner: exp once, outside the sweeps
     conf_r = jnp.exp(jval[:L, 0] - rowterm[0, :L])
     ibest = ibest[:S]
-    mutual = jnp.take(ibest, jnp.clip(jbest, 0, S - 1)) == jnp.arange(L)
+    # take_along_axis, NOT flat jnp.take: 1-D take scalarizes on TPU
+    # (measured 22.8 s vs 2.5 ms for a 40k-from-174k f32 gather)
+    mutual = jnp.take_along_axis(
+        ibest[None], jnp.clip(jbest, 0, S - 1)[None], axis=1
+    )[0] == jnp.arange(L)
     valid_rows = (m0 > 0) if mask0 is not None else jnp.ones(L, bool)
     return jbest, jnp.where(valid_rows, conf_r, 0.0), mutual & valid_rows

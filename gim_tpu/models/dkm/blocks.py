@@ -132,6 +132,9 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     K = 2 * r + 1
     Kp = K + 1
     if chunk is None:
+        # sized as if f32 regardless of dtype: measured on DKM full-res,
+        # LARGER chunks are slower (0.71 -> 0.77-0.84 s/pair) — small
+        # per-offset gather+reduce steps pipeline better on this chip
         per_offset = B * H * W * C * 4
         chunk = max(1, min(Kp * Kp, mem_budget_bytes // max(per_offset, 1)))
     if flow is None:
@@ -369,6 +372,13 @@ class ConvRefiner(nn.Module):
         """x, y: (B, H, W, C); flow: (B, H, W, 2). emb_scale: RoMa passes
         40/32 * scale_factor (ref roma.py:548-550). Returns (certainty
         (B,H,W,1), displacement (B,H,W,2))."""
+        # cast BEFORE sampling/correlating: the gathers are the refiner's
+        # dominant cost (ablation: x_hat ~205 ms + local corr ~222 ms of
+        # DKM full-res's 717 ms) and halve in bf16; scale 1's "features"
+        # are the raw f32 images otherwise
+        x = x.astype(self.dtype)
+        y = y.astype(self.dtype)
+        flow = flow.astype(jnp.float32)
         B, H, W, C = x.shape
         x_hat = jax.lax.stop_gradient(sample_nhwc(y, flow))
         parts = [x, x_hat]

@@ -155,6 +155,12 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     doffs = jnp.stack([doy.reshape(-1), dox.reshape(-1)], -1)  # (Kp^2, 2)
 
     scale = 1.0 / math.sqrt(C)
+    # NOTE (measured, docs/PERF.md): a "wide-slice" variant gathering one
+    # contiguous (Kp*C) slice per (pixel, dy) via lax.gather with
+    # slice_sizes=(1, 1, Kp*C) lowers ~9x SLOWER end to end (6.4 vs 0.72
+    # s/pair DKM full-res) — XLA serializes per start. Per-corner
+    # take_along_axis row gathers in small lax.map chunks remain the
+    # fastest known form on this hardware.
     nc = -(-(Kp * Kp) // chunk)
     pad = nc * chunk - Kp * Kp
     offs = jnp.pad(doffs, ((0, pad), (0, 0))).reshape(nc, chunk, 2)
@@ -165,8 +171,8 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
         jj = ix0[..., None] + off[None, None, None, :, 1]
         valid = (ii >= 0) & (ii < H) & (jj >= 0) & (jj < W)
         idx = jnp.clip(ii, 0, H - 1) * W + jnp.clip(jj, 0, W - 1)
-        # batched row gather via take_along_axis — vmap(jnp.take) scalarizes
-        # on TPU (measured 770x slower at this shape)
+        # batched row gather via take_along_axis — vmap(jnp.take)
+        # scalarizes on TPU (measured 770x slower at this shape)
         feats = jnp.take_along_axis(
             yflat, idx.reshape(B, -1)[..., None], axis=1
         ).reshape(B, H, W, -1, C)

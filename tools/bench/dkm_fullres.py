@@ -7,6 +7,11 @@ bf16 compute. Run from the repo root on the TPU host:
 
 Prints one JSON line (s/pair, normalized by batch). Includes an untimed
 settle round (docs/PERF.md timing caveat)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import json
 import time
 

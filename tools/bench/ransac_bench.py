@@ -2,6 +2,11 @@
 on chip at eval shapes (N=4096 matches). Three timed rounds — the first
 absorbs a one-time recompile (docs/PERF.md timing caveat); read the
 later rounds as steady state."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import time
 
 import jax

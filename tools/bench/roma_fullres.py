@@ -2,6 +2,11 @@
 upsample, ref demo.py:332 + trainer/lightning.py:41), bf16 compute.
 Run from the repo root on the TPU host. Prints one JSON line. Includes
 an untimed settle round (docs/PERF.md timing caveat)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import json
 import time
 

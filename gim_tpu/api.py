@@ -81,8 +81,16 @@ class Matcher:
     @classmethod
     def from_checkpoint(cls, name: str, ckpt_path: str,
                         cfg: C.GimConfig | None = None) -> "Matcher":
+        """Build from a checkpoint file. Accepts both worlds a user has:
+        a reference-layout torch .ckpt (key-remapped port,
+        ref trainer/lightning.py:68-99) or an orbax checkpoint directory
+        written by gim_tpu.cli.train (the framework's own training loop)."""
+        import os
+
         from gim_tpu.weights import port
 
+        if os.path.isdir(ckpt_path):
+            return cls(name, cfg, variables=load_orbax_variables(ckpt_path))
         sd = port.load_torch_state_dict(ckpt_path)
         if name == "gim_lightglue":
             sp_sd, lg_sd = port.split_gim_lightglue(sd)
@@ -126,6 +134,25 @@ class Matcher:
         if key not in self._jitted:
             self._jitted[key] = jax.jit(partial(match_fn, self.name, self.cfg))
         return self._jitted[key]
+
+
+def load_orbax_variables(ckpt_dir: str):
+    """Restore model variables from an orbax CheckpointManager directory
+    (latest step). Training saves {"variables", "opt_state"}; inference
+    needs variables only."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoints under {ckpt_dir}")
+    restored = mgr.restore(step)
+    if "variables" not in restored:
+        raise KeyError(f"orbax checkpoint at {ckpt_dir} step {step} has no "
+                       f"'variables' entry (keys: {list(restored)})")
+    return jax.tree_util.tree_map(jnp.asarray, restored["variables"])
 
 
 def match_fn(name: str, cfg: C.GimConfig, variables, image0, image1,

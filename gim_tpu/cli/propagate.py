@@ -11,7 +11,24 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from os.path import join
+
+
+def discover_sources(seq_root: str) -> dict[int, list]:
+    """Find per-skip label stores under one sequence dir. Factory store
+    names end `_s<skip>_r{T|F}` (gim_tpu.cli.video_preprocessor.store_name,
+    mirroring ref 'WALK <METHOD> [R] <T|F> [S] <skip>')."""
+    from gim_tpu.data.walk import LabelStore
+
+    sources: dict[int, list[LabelStore]] = {}
+    for d in sorted(os.listdir(seq_root)):
+        m = re.search(r"_s(\d+)_r[TF]$", d)
+        if not m:
+            continue
+        skip = int(m.group(1))
+        sources.setdefault(skip, []).append(LabelStore(join(seq_root, d)))
+    return sources
 
 
 def main(argv=None):
@@ -34,15 +51,7 @@ def main(argv=None):
         raise SystemExit(f"no label sources under {seq_root}; run "
                          "gim_tpu.cli.video_preprocessor first")
 
-    import re
-
-    sources: dict[int, list[LabelStore]] = {}
-    for d in sorted(os.listdir(seq_root)):
-        m = re.search(r"_s(\d+)_r\d+$", d)
-        if not m:
-            continue
-        skip = int(m.group(1))
-        sources.setdefault(skip, []).append(LabelStore(join(seq_root, d)))
+    sources = discover_sources(seq_root)
     if not sources:
         raise SystemExit(f"no per-skip label stores found in {seq_root}")
     print(f"[propagate] sources: "

@@ -35,6 +35,16 @@ def main(argv=None):
     p.add_argument("--max_labels", type=int, default=20000)
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--log_interval", type=int, default=20)
+    p.add_argument("--save_interval", type=int, default=200)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the effective LR (bypasses the linear "
+                        "scaling rule — for short synthetic-domain runs)")
+    p.add_argument("--warmup_steps", type=int, default=None,
+                   help="override the effective warmup step count")
+    p.add_argument("--augmentation", default="dark",
+                   choices=["dark", "mobile", "none"],
+                   help="photometric augmentation (ref WALK train uses "
+                        "'dark', datasets/walk/__init__.py:32)")
     args = p.parse_args(argv)
 
     import jax
@@ -87,9 +97,25 @@ def main(argv=None):
         init = lambda k: roma_init(k, cfg.roma)
         step_fn = roma_train_step
 
+    # effective-LR / warmup overrides: rewrite the canonical quantities so
+    # true_lr()/true_warmup() come out at the requested values
+    if args.lr is not None or args.warmup_steps is not None:
+        t = cfg.trainer
+        world = n_dev * args.batch_size
+        t = replace(
+            t,
+            canonical_bs=world,
+            canonical_lr=(args.lr if args.lr is not None
+                          else t.true_lr(n_dev, args.batch_size)),
+            warmup_steps=(args.warmup_steps if args.warmup_steps is not None
+                          else t.true_warmup(n_dev, args.batch_size)))
+        cfg = replace(cfg, trainer=t)
+
     cache = FrameCache(args.video, os.path.join(args.labels_root, "_frames"))
     ds = WalkDataset(cache.frame, args.labels_root, args.img_size,
-                     args.max_labels)
+                     args.max_labels,
+                     augmentation=(None if args.augmentation == "none"
+                                   else args.augmentation))
     if len(ds) == 0:
         raise SystemExit("no propagated labels found; run "
                          "gim_tpu.cli.video_preprocessor + propagate first")
@@ -152,10 +178,14 @@ def main(argv=None):
                 print(f"[train] step {step + 1} loss "
                       f"{float(logs['loss']):.4f} ({extra}) {dt:.1f}s",
                       flush=True)
+            if (step + 1) % args.save_interval == 0:
                 mgr.save(step + 1, args=ocp.args.StandardSave(
                     {"variables": variables, "opt_state": opt_state}))
+    if args.max_steps % args.save_interval != 0 and args.max_steps > start:
+        mgr.save(args.max_steps, args=ocp.args.StandardSave(
+            {"variables": variables, "opt_state": opt_state}))
     mgr.wait_until_finished()
-    print("[train] done")
+    print(f"[train] done; checkpoints at {args.ckpt_dir}")
 
 
 if __name__ == "__main__":

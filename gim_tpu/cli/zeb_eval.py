@@ -111,9 +111,15 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--out_dir", default="dump/zeb")
-    p.add_argument("--padding", action="store_true", default=True)
+    p.add_argument("--padding", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="square-canvas padding + mask (ref datasets/utils.py"
+                        ":56-72); --no-padding feeds the bare resized frame")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--seq", default=None,
+                   help="explicit sequence dir under <data_root>/zeb "
+                        "(required when the root holds several ad-hoc dirs)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic two-plane benchmark first")
     p.add_argument("--overwrite", action="store_true",
@@ -151,7 +157,8 @@ def main(argv=None):
 
     spec = Z.BENCHMARKS[args.tests]
     img_size = args.img_size or spec.img_size
-    pairs = Z.load_benchmark(args.data_root, args.tests, args.max_samples)
+    pairs = Z.load_benchmark(args.data_root, args.tests, args.max_samples,
+                             seq=args.seq)
     if not pairs:
         raise SystemExit(f"no pairs found under {args.data_root}/zeb")
 

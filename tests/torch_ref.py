@@ -1,6 +1,14 @@
-"""Minimal torch ground-truth implementations for weight-port parity tests.
+"""Minimal torch implementations for FAST weight-port smoke tests.
 
-These re-derive the published SuperPoint/LightGlue math (DeTone et al. 2018;
+DEMOTED (round 3): the authoritative SuperPoint/LightGlue parity oracle is
+the reference's own graphs — see
+tests/test_full_model_parity.py::test_lightglue_full_model_parity, which
+instantiates /root/reference/networks/lightglue/{superpoint.py:153,
+models/matchers/lightglue.py:306} directly (a replica can share a
+misreading with the port; the reference graph cannot). These replicas stay
+only as quick non-slow smoke coverage of the port layout rules.
+
+They re-derive the published SuperPoint/LightGlue math (DeTone et al. 2018;
 Lindenberger et al. 2023) with the same parameter names/shapes as the
 reference checkpoints, so `state_dict()` from these modules is layout-
 identical to a real gim_lightglue ckpt fragment. Test-only code — the

@@ -51,6 +51,17 @@ def main(argv=None):
     p.add_argument("--min_pairs", type=int, default=4)
     args = p.parse_args(argv)
 
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GIM_TPU_COMPILE_CACHE",
+                           "/tmp/gim_tpu_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     os.makedirs(args.work_dir, exist_ok=True)
     video = join(args.work_dir, "synthtrain.avi")
     labels_root = join(args.work_dir, "labels")

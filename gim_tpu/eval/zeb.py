@@ -31,7 +31,13 @@ def pair_metrics(kpts0, kpts1, valid, K0, K1, T_0to1, key,
                  thresh: float = 0.5, num_hypotheses: int = 2048,
                  conf=None):
     """All per-pair metrics on device. Args batched (B, ...). Returns dict
-    of (B, ...) arrays: epi_errs, R_errs, t_errs, t_errs2, inliers."""
+    of (B, ...) arrays: epi_errs, R_errs, t_errs, t_errs2, inliers.
+
+    `key` is either a single PRNG key (split across the batch) or a
+    pre-split (B, 2) key batch — `evaluate` passes per-pair keys derived
+    from the pair identifier so results are independent of how the pair
+    list is sharded across processes/batches (the reproducibility property
+    the reference gets from per-pair host cv2 RANSAC under seed 3407)."""
     E = essential_from_pose(T_0to1)
     epi = symmetric_epipolar_distance(kpts0, kpts1, E, K0, K1)
 
@@ -40,7 +46,7 @@ def pair_metrics(kpts0, kpts1, valid, K0, K1, T_0to1, key,
                             conf=cf)
         return out
 
-    keys = jax.random.split(key, kpts0.shape[0])
+    keys = key if key.ndim == 2 else jax.random.split(key, kpts0.shape[0])
     if conf is None:
         conf = jnp.ones(kpts0.shape[:2], jnp.float32)
     pose = jax.vmap(one)(kpts0, kpts1, valid, K0, K1, keys, conf)
@@ -50,6 +56,15 @@ def pair_metrics(kpts0, kpts1, valid, K0, K1, T_0to1, key,
     t_err2 = jnp.where(pose["success"], t_err2, jnp.inf)
     return {"epi_errs": epi, "R_errs": r_err, "t_errs": t_err,
             "t_errs2": t_err2, "inliers": pose["inliers"] & valid}
+
+
+def identifier_key(identifier: str) -> np.ndarray:
+    """Deterministic per-pair PRNG key from the pair identifier (process-
+    and batching-independent, unlike Python's salted hash())."""
+    import hashlib
+
+    d = hashlib.blake2s(identifier.encode(), digest_size=8).digest()
+    return np.frombuffer(d, dtype=np.uint32).copy()
 
 
 def format_rows(metrics_rows: list[dict], epi_err_thr: float = 5e-4) -> str:
@@ -95,15 +110,20 @@ def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
     `batches` yield dicts from gim_tpu.data.zeb.batch_pairs. Matching and
     metric/pose computation run fully on device; only final scalars and
     the per-match epi/inlier vectors cross to host per batch.
+
+    RANSAC keys are derived PER PAIR from the identifier (blake2s), so the
+    dump is bit-identical no matter how the pair list is sharded across
+    processes or batched (`check.py` consistency across world sizes).
     """
-    key = jax.random.PRNGKey(0) if key is None else key
+    del key  # per-pair identifier-derived keys (see docstring)
     rows = []
     for bi, batch in enumerate(batches):
         res = match(batch)
-        key, sub = jax.random.split(key)
+        keys = jnp.asarray(
+            np.stack([identifier_key(i) for i in batch["identifier"]]))
         m = pair_metrics(res.kpts0, res.kpts1, res.valid,
                          jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]),
-                         jnp.asarray(batch["T_0to1"]), sub,
+                         jnp.asarray(batch["T_0to1"]), keys,
                          ransac_thresh, num_hypotheses,
                          conf=res.conf if use_conf else None)
         m = jax.device_get(m)

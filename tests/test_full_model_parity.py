@@ -213,6 +213,180 @@ def test_roma_full_model_parity():
 
 
 # ---------------------------------------------------------------------------
+# TRUE eval-protocol shapes (VERDICT round-2 item 2): the toy-shape tests
+# above catch math drift cheaply; these catch shape- and mask-dependent
+# bugs (border masks, padding extents, resize rounding) that only exist at
+# the reference's real eval geometry. Each is one slow run per head.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_loftr_parity_at_840_padded_canvas_with_masks():
+    """The real ZEB protocol: 840x630 content on an 840^2 padded square
+    canvas WITH mask-aware coarse matching (masked dual-softmax +
+    mask_border_with_padding, ref coarse_matching.py:29-44,116-133,180) —
+    the exact geometry TEST_GIM_LOFTR.sh evaluates at."""
+    torch.manual_seed(4)
+    from networks.loftr.loftr import LoFTR as RefLoFTR
+    from networks.loftr.config import get_cfg_defaults
+    import torch.nn.functional as F
+
+    cfg = _lower(dict(get_cfg_defaults()))["loftr"]
+    cfg["weight"] = None
+    cfg["match_coarse"]["thr"] = 1e-4
+    ref = RefLoFTR(cfg).eval()
+
+    S, Hc, Wc = 840, 632, 840     # content 840x632 (df=8), canvas 840^2
+    rng = np.random.default_rng(4)
+    content0 = _smooth_noise(rng, Hc, Wc)
+    content1 = np.roll(content0, (24, 24), axis=(0, 1))
+    im0 = np.zeros((S, S, 3), np.float32)
+    im1 = np.zeros((S, S, 3), np.float32)
+    im0[:Hc, :Wc] = content0
+    im1[:Hc, :Wc] = content1
+    mask = np.zeros((S, S), bool)
+    mask[:Hc, :Wc] = True
+
+    t0 = torch.from_numpy(im0.transpose(2, 0, 1))[None]
+    t1 = torch.from_numpy(im1.transpose(2, 0, 1))[None]
+    tm = torch.from_numpy(mask)[None]
+    # the loader feeds the model 1/8-nearest masks (ref gl3d.py:112-120)
+    ts_mask = F.interpolate(tm[None].float(), scale_factor=1 / 8,
+                            mode="nearest",
+                            recompute_scale_factor=False)[0].bool()
+    data = {"image0": t0, "image1": t1, "color0": t0, "color1": t1,
+            "mask0": ts_mask, "mask1": ts_mask.clone()}
+    with torch.no_grad():
+        ref(data)
+    ref_cm = data["conf_matrix"].numpy()[0]
+    ref_k0 = data["mkpts0_f"].numpy()
+    ref_k1 = data["mkpts1_f"].numpy()
+    ref_conf = data["mconf"].numpy()
+
+    from gim_tpu.weights import port
+    from gim_tpu.config import LoFTRConfig
+    from gim_tpu.models.loftr import LoFTRMatcher
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = port.port_loftr(sd)
+    ours = LoFTRMatcher(LoFTRConfig(match_threshold=1e-4, max_matches=8192))
+    out = ours.apply(variables, jnp.asarray(t0.numpy()),
+                     jnp.asarray(t1.numpy()),
+                     jnp.ones((1, 2)), jnp.ones((1, 2)),
+                     jnp.asarray(mask)[None], jnp.asarray(mask)[None])
+
+    cm = np.asarray(out["conf_matrix"][0])
+    assert cm.shape == ref_cm.shape
+    assert np.abs(cm - ref_cm).max() < 1e-4, np.abs(cm - ref_cm).max()
+    # padded cells must carry exactly zero confidence through the masked
+    # softmax on both stacks
+    cmask = mask[::8, ::8].reshape(-1)
+    assert ref_cm[~cmask].max() == 0.0
+    assert cm[~cmask].max() == 0.0
+
+    v = np.asarray(out["valid"][0])
+    k0 = np.asarray(out["mkpts0_f"][0])[v]
+    k1 = np.asarray(out["mkpts1_f"][0])[v]
+    conf = np.asarray(out["mconf"][0])[v]
+    assert len(k0) == len(ref_k0), (len(k0), len(ref_k0))
+    if len(k0):
+        def rows(a, b, c):
+            o = np.lexsort((b[:, 1], b[:, 0], a[:, 1], a[:, 0]))
+            return np.concatenate([a[o], b[o], c[o, None]], -1)
+
+        d = np.abs(rows(ref_k0, ref_k1, ref_conf) - rows(k0, k1, conf))
+        assert d[:, :4].max() < 0.1, d[:, :4].max()
+        assert d[:, 4].max() < 1e-3, d[:, 4].max()
+        # mask-aware border removal: no match may touch the content
+        # border band (border_rm=2 coarse cells from the TRUE extent)
+        assert k0[:, 0].max() < Wc - 8 and k0[:, 1].max() < Hc - 8
+
+
+@pytest.mark.slow
+def test_dkm_parity_at_true_eval_resolution():
+    """DKM at the real ZEB geometry: 660x880 coarse pass, 1152x1536
+    upsample_preds second pass (ref trainer/lightning.py:32-37)."""
+    torch.manual_seed(5)
+    from networks.dkm.models.model_zoo.DKMv3 import DKMv3
+
+    hs, ws = 660, 880
+    ref = DKMv3(None, hs, ws, upsample_preds=True)
+    ref.h_resized, ref.w_resized = hs, ws
+    ref.upsample_res = (1152, 1536)
+    ref = ref.eval()
+
+    rng = np.random.default_rng(5)
+    im0 = _smooth_noise(rng, 1152, 1536)
+    im1 = np.roll(im0, (96, 128), axis=(0, 1))
+    t0 = torch.from_numpy(im0.transpose(2, 0, 1))[None]
+    t1 = torch.from_numpy(im1.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        warp_ref, cert_ref = ref.match(t0, t1, batched=False)
+    warp_ref = warp_ref.numpy()
+    cert_ref = cert_ref.numpy()
+
+    from gim_tpu.weights import port
+    from gim_tpu.config import DKMConfig
+    from gim_tpu.models.dkm.model import DKMMatcher
+
+    sd = {"model." + k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = port.port_dkm(sd)
+    cfg = DKMConfig(h_resized=hs, w_resized=ws, upsample_res=(1152, 1536))
+    warp, cert = DKMMatcher(cfg).apply(variables, jnp.asarray(t0.numpy()),
+                                       jnp.asarray(t1.numpy()))
+    warp = np.asarray(warp[0])
+    cert = np.asarray(cert[0])
+    assert warp.shape == warp_ref.shape, (warp.shape, warp_ref.shape)
+    assert np.abs(warp - warp_ref).max() < 2e-3
+    assert np.abs(cert - cert_ref).max() < 2e-3
+
+
+@pytest.mark.slow
+def test_roma_parity_at_true_eval_resolution():
+    """RoMa at the real geometry: 672^2 coarse (14x48), 1344^2 upsample
+    (ref roma.py:658,1124)."""
+    torch.manual_seed(6)
+    from networks.roma.roma import RoMa
+
+    dino_sd = _random_dinov2_sd()
+    orig = torch.hub.load_state_dict_from_url
+    torch.hub.load_state_dict_from_url = lambda *a, **kw: dino_sd
+    try:
+        ref = RoMa(img_size=[672]).eval()
+    finally:
+        torch.hub.load_state_dict_from_url = orig
+    ref.upsample_res = (1344, 1344)
+
+    rng = np.random.default_rng(6)
+    im0 = _smooth_noise(rng, 1344, 1344)
+    im1 = np.roll(im0, (112, 112), axis=(0, 1))
+    t0 = torch.from_numpy(im0.transpose(2, 0, 1))[None]
+    t1 = torch.from_numpy(im1.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        warp_ref, cert_ref = ref.match(t0, t1, batched=False)
+    warp_ref = warp_ref.numpy()
+    cert_ref = cert_ref.numpy()
+
+    from gim_tpu.weights import port
+    from gim_tpu.config import RoMaConfig
+    from gim_tpu.models.roma.model import RoMaMatcher
+
+    sd = {"model." + k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = port.port_roma(sd, {k: v.numpy()
+                                    for k, v in dino_sd.items()})
+    cfg = RoMaConfig(coarse_res=672, upsample_res=(1344, 1344))
+    warp, cert = RoMaMatcher(cfg).apply(variables, jnp.asarray(t0.numpy()),
+                                        jnp.asarray(t1.numpy()))
+    warp = np.asarray(warp[0])
+    cert = np.asarray(cert[0])
+    assert warp.shape == warp_ref.shape, (warp.shape, warp_ref.shape)
+    dw = np.abs(warp - warp_ref)
+    dc = np.abs(cert - cert_ref)
+    assert dc.max() < 1e-2, dc.max()
+    assert np.median(dw) < 1e-4, np.median(dw)
+    assert (dw > 1e-2).mean() < 0.05, (dw > 1e-2).mean()
+
+
+# ---------------------------------------------------------------------------
 # gim_lightglue (SuperPoint + LightGlue against the reference's own graphs)
 # ---------------------------------------------------------------------------
 

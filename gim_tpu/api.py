@@ -126,6 +126,10 @@ class Matcher:
             scale0 = jnp.ones((B, 2))
         if scale1 is None:
             scale1 = jnp.ones((B, 2))
+        if self.name == "root_sift":
+            # host cv2 SIFT detect + on-device RootSIFT matmul matching
+            # (ref trainer/lightning.py:195-241) — not jittable end to end
+            return _match_root_sift(image0, image1, scale0, scale1)
         fn = self._get_jitted(image0.shape, mask0 is not None)
         return fn(self.variables, image0, image1, scale0, scale1, mask0, mask1)
 
@@ -134,6 +138,42 @@ class Matcher:
         if key not in self._jitted:
             self._jitted[key] = jax.jit(partial(match_fn, self.name, self.cfg))
         return self._jitted[key]
+
+
+def _match_root_sift(image0, image1, scale0, scale1,
+                     max_kpts: int = 6144) -> MatchResult:
+    """Host+device RootSIFT baseline through the public MatchResult
+    contract (ref trainer/lightning.py:195-241: cv2 SIFT detect on host,
+    RootSIFT norm, mutual-NN + ratio 0.8 as a device matmul)."""
+    from gim_tpu.models.root_sift import detect_rootsift, match_rootsift, \
+        pad_to
+
+    B = image0.shape[0]
+    k0s, k1s, cs, vs = [], [], [], []
+    img0 = np.asarray(image0)
+    img1 = np.asarray(image1)
+    sc0 = np.asarray(scale0)
+    sc1 = np.asarray(scale1)
+    for b in range(B):
+        rgb0 = (np.transpose(img0[b], (1, 2, 0)) * 255).astype(np.uint8)
+        rgb1 = (np.transpose(img1[b], (1, 2, 0)) * 255).astype(np.uint8)
+        kp0, d0 = detect_rootsift(rgb0)
+        kp1, d1 = detect_rootsift(rgb1)
+        kp0p, v0 = pad_to(kp0, max_kpts)
+        d0p, _ = pad_to(d0, max_kpts)
+        kp1p, v1 = pad_to(kp1, max_kpts)
+        d1p, _ = pad_to(d1, max_kpts)
+        m, conf = match_rootsift(
+            jnp.asarray(kp0p), jnp.asarray(d0p), jnp.asarray(v0),
+            jnp.asarray(kp1p), jnp.asarray(d1p), jnp.asarray(v1))
+        m = np.asarray(m)
+        sel = m >= 0
+        k0s.append(kp0p * sc0[b][None])
+        k1s.append(kp1p[np.maximum(m, 0)] * sc1[b][None])
+        cs.append(np.where(sel, np.asarray(conf), 0.0))
+        vs.append(sel)
+    return MatchResult(jnp.asarray(np.stack(k0s)), jnp.asarray(np.stack(k1s)),
+                       jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(vs)))
 
 
 def load_orbax_variables(ckpt_dir: str):

@@ -23,43 +23,16 @@ def build_matcher(weight: str, ckpt: str | None, img_size: int,
     import jax
     import jax.numpy as jnp
 
-    from gim_tpu.api import Matcher, MatchResult
+    from gim_tpu.api import Matcher
     from gim_tpu.config import GimConfig, replace as cfg_replace
 
     if weight == "root_sift":
-        from gim_tpu.models.root_sift import (detect_rootsift, match_rootsift,
-                                              pad_to)
+        matcher = Matcher("root_sift")
 
         def match(batch):
-            B = batch["color0"].shape[0]
-            K = 6144
-            k0s, k1s, cs, vs = [], [], [], []
-            for b in range(B):
-                rgb0 = (np.transpose(batch["color0"][b], (1, 2, 0))
-                        * 255).astype(np.uint8)
-                rgb1 = (np.transpose(batch["color1"][b], (1, 2, 0))
-                        * 255).astype(np.uint8)
-                kp0, d0 = detect_rootsift(rgb0)
-                kp1, d1 = detect_rootsift(rgb1)
-                kp0p, v0 = pad_to(kp0, K)
-                d0p, _ = pad_to(d0, K)
-                kp1p, v1 = pad_to(kp1, K)
-                d1p, _ = pad_to(d1, K)
-                m, conf = match_rootsift(
-                    jnp.asarray(kp0p), jnp.asarray(d0p), jnp.asarray(v0),
-                    jnp.asarray(kp1p), jnp.asarray(d1p), jnp.asarray(v1))
-                m = np.asarray(m)
-                sel = m >= 0
-                k0 = kp0p * batch["scale0"][b][None]
-                k1 = kp1p[np.maximum(m, 0)] * batch["scale1"][b][None]
-                k0s.append(k0)
-                k1s.append(k1)
-                cs.append(np.where(sel, np.asarray(conf), 0.0))
-                vs.append(sel)
-            return MatchResult(jnp.asarray(np.stack(k0s)),
-                               jnp.asarray(np.stack(k1s)),
-                               jnp.asarray(np.stack(cs)),
-                               jnp.asarray(np.stack(vs)))
+            return matcher.match(
+                jnp.asarray(batch["color0"]), jnp.asarray(batch["color1"]),
+                jnp.asarray(batch["scale0"]), jnp.asarray(batch["scale1"]))
 
         return match
 

@@ -50,8 +50,13 @@ def make_pair(rng, H=480, W=640):
     # two fronto-ish planes at different depths, split left/right
     n1 = np.array([0.05, 0.02, -1.0])
     n2 = np.array([-0.03, 0.06, -1.0])
-    H1 = plane_homography(K, R, t, n1 / np.linalg.norm(n1), 4.0)
-    H2 = plane_homography(K, R, t, n2 / np.linalg.norm(n2), 7.5)
+    # plane n_u^T X = d with VISIBLE points (z > 0) requires d < 0 for
+    # these back-tilted normals (n_z ~ -1): physical depths ~4 / ~7.5.
+    # (with d > 0 the same homography renders a projectively-consistent
+    # scene BEHIND the camera — E-matrix pose metrics are sign-blind to
+    # it, but triangulation cheirality is not; round-3 recon E2E fix)
+    H1 = plane_homography(K, R, t, n1 / np.linalg.norm(n1), -4.0)
+    H2 = plane_homography(K, R, t, n2 / np.linalg.norm(n2), -7.5)
     w1 = cv2.warpPerspective(img0, H1, (W, H), borderMode=cv2.BORDER_REFLECT)
     w2 = cv2.warpPerspective(img0, H2, (W, H), borderMode=cv2.BORDER_REFLECT)
     # composite: plane 1 owns the left half of image0, warped to image1.
@@ -86,8 +91,8 @@ def render_frame(img0, K, rvec, t, n1, n2, W, H):
     import cv2
 
     R = cv2.Rodrigues(rvec)[0]
-    H1 = plane_homography(K, R, t, n1 / np.linalg.norm(n1), 4.0)
-    H2 = plane_homography(K, R, t, n2 / np.linalg.norm(n2), 7.5)
+    H1 = plane_homography(K, R, t, n1 / np.linalg.norm(n1), -4.0)
+    H2 = plane_homography(K, R, t, n2 / np.linalg.norm(n2), -7.5)
     w1 = cv2.warpPerspective(img0, H1, (W, H), borderMode=cv2.BORDER_REFLECT)
     w2 = cv2.warpPerspective(img0, H2, (W, H), borderMode=cv2.BORDER_REFLECT)
     m = np.zeros((H, W), np.uint8)

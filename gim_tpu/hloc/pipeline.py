@@ -157,9 +157,10 @@ def match_dense(pairs: list[tuple[str, str]], image_dir: str,
 
     if matcher is None:
         matcher = Matcher("gim_dkm")
-    matcher.cfg = replace(matcher.cfg,
-                          dkm=replace(matcher.cfg.dkm,
-                                      num_samples=num_samples))
+    if matcher.name == "gim_dkm":
+        matcher.cfg = replace(matcher.cfg,
+                              dkm=replace(matcher.cfg.dkm,
+                                          num_samples=num_samples))
 
     cache: dict[str, tuple] = {}
 

@@ -54,7 +54,6 @@ def build_database(db_path: str, image_dir: str, names: list[str],
     import h5py
 
     from gim_tpu.hloc.database import ColmapDB
-    from gim_tpu.hloc.pipeline import names_to_pair
 
     db = ColmapDB(db_path)
     image_ids = {}
@@ -75,25 +74,30 @@ def build_database(db_path: str, image_dir: str, names: list[str],
             db.add_keypoints(image_ids[name], kpts[name] + 0.5)
 
     with h5py.File(match_path, "r") as fd:
-        for key in fd:
-            grp = fd[key]
-            if "matches" in grp:
-                m = grp["matches"][...]
-            else:  # sparse layout: matches0 per-kpt partner
-                m0 = grp["matches0"][...]
-                sel = m0 >= 0
-                m = np.stack([np.nonzero(sel)[0], m0[sel]], axis=1)
-            n0, n1 = key.split("/")
-            db.add_matches(image_ids[n0], image_ids[n1], m)
-            if verify and len(m) >= 8:
-                inl = geometric_verification_onchip(kpts[n0], kpts[n1], m)
-                db.add_two_view_geometry(image_ids[n0], image_ids[n1],
-                                         m[inl], config=3)
-            else:
-                db.add_two_view_geometry(image_ids[n0], image_ids[n1], m,
-                                         config=3)
+        # names_to_pair keys are 'name0/name1' -> h5 nests them two deep
+        for n0 in fd:
+            for n1 in fd[n0]:
+                grp = fd[n0][n1]
+                if "matches" in grp:
+                    m = grp["matches"][...]
+                else:  # sparse layout: matches0 per-kpt partner
+                    m0 = grp["matches0"][...]
+                    sel = m0 >= 0
+                    m = np.stack([np.nonzero(sel)[0], m0[sel]], axis=1)
+                _db_add_pair(db, image_ids, kpts, n0, n1, m, verify)
     db.close()
     return image_ids
+
+
+def _db_add_pair(db, image_ids, kpts, n0, n1, m, verify):
+    db.add_matches(image_ids[n0], image_ids[n1], m)
+    if verify and len(m) >= 8:
+        inl = geometric_verification_onchip(kpts[n0], kpts[n1], m)
+        db.add_two_view_geometry(image_ids[n0], image_ids[n1],
+                                 m[inl], config=3)
+    else:
+        db.add_two_view_geometry(image_ids[n0], image_ids[n1], m,
+                                 config=3)
 
 
 def incremental_mapping(db_path: str, image_dir: str, out_dir: str):
@@ -120,7 +124,7 @@ def main(argv=None):
                    help="dir with images/ subdir")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--model", default="gim_dkm",
-                   choices=["gim_dkm", "gim_lightglue"])
+                   choices=["gim_dkm", "gim_lightglue", "root_sift"])
     p.add_argument("--ckpt", default=None)
     args = p.parse_args(argv)
 
@@ -138,7 +142,10 @@ def main(argv=None):
     match_path = join(out_dir, "matches.h5")
     matcher = (Matcher.from_checkpoint(args.model, args.ckpt) if args.ckpt
                else Matcher(args.model))
-    if args.model == "gim_dkm":
+    if args.model in ("gim_dkm", "root_sift"):
+        # root_sift rides the dense path: its matches have no repeatable
+        # detector ids either, so they go through the same cell
+        # quantization -> canonical-keypoint aggregation (match_dense.py)
         P.match_dense(pairs, image_dir, feature_path, match_path, matcher)
     else:
         P.extract_features(image_dir, names, feature_path, matcher)

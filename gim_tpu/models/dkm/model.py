@@ -222,7 +222,10 @@ def sample_matches(key: jax.Array, warp: jax.Array, certainty: jax.Array,
     else:
         cert = cert_raw
     expansion = 4 if "balanced" in mode else 1
-    n_grab = expansion * num
+    # at small eval resolutions the dense grid can hold fewer cells than
+    # the requested sample budget — clamp (static shapes, so python min)
+    n_grab = min(expansion * num, cert.shape[0])
+    num = min(num, n_grab)
 
     k1, k2 = jax.random.split(key)
     logp = jnp.log(jnp.maximum(cert, 1e-12))

@@ -82,27 +82,13 @@ def loftr_loss(cfg: GimConfig, variables, batch, rngs=None):
                                  c.focal_alpha, c.focal_gamma,
                                  c.pos_weight, c.neg_weight)
 
-    # fine supervision: mean target position in image1 per image0 cell
-    hc, wc = hw_c
-    Lc = hc * wc
-    cell0 = (jnp.clip((batch["labels"][..., 1] // c.resolution[0]), 0, hc - 1)
-             * wc
-             + jnp.clip((batch["labels"][..., 0] // c.resolution[0]), 0,
-                        wc - 1)).astype(jnp.int32)
-    w = batch["label_valid"].astype(jnp.float32)
-    sum1 = jnp.zeros((B, Lc, 2))
-    sum1 = jax.vmap(lambda s, i, p, ww: s.at[i].add(p * ww[:, None]))(
-        sum1, cell0, batch["labels"][..., 2:4], w)
-    cnt = jnp.zeros((B, Lc))
-    cnt = jax.vmap(lambda s, i, ww: s.at[i].add(ww))(cnt, cell0, w)
-    pos1 = sum1 / jnp.maximum(cnt[..., None], 1.0)
-    has_gt = cnt > 0
-
-    i_ids = out["i_ids"]
-    gt1 = jnp.take_along_axis(pos1, i_ids[..., None], axis=1)
-    gt_valid = jnp.take_along_axis(has_gt, i_ids, axis=1) & out["valid"]
+    # fine supervision at the coarse grid point (local-translation warp
+    # estimate from the labels — see fine_gt_from_labels)
     denom = (c.fine_window_size // 2) * c.resolution[1]
-    expec_gt = (gt1 - out["mkpts1_c"]) / denom
+    expec_gt, has_gt = L.fine_gt_from_labels(
+        batch["labels"], batch["label_valid"], out["i_ids"],
+        out["mkpts1_c"], hw_c, c.resolution[0], float(denom))
+    gt_valid = has_gt & out["valid"]
     loss_f = L.fine_l2_std_loss(out["expec_f"], expec_gt, gt_valid,
                                 c.fine_correct_thr)
     return loss_c + loss_f, (mutated, {"loss_c": loss_c, "loss_f": loss_f})

@@ -44,6 +44,48 @@ def coarse_gt_from_labels(labels: jax.Array, label_valid: jax.Array,
     return upd.reshape(B, L, L)
 
 
+def fine_gt_from_labels(labels: jax.Array, label_valid: jax.Array,
+                        i_ids: jax.Array, mkpts1_c: jax.Array,
+                        hw_c: tuple[int, int], scale: int,
+                        denom: float):
+    """Pseudo-label correspondences -> fine-stage GT offsets.
+
+    The fine head refines the correspondence of the coarse GRID POINT
+    mkpts0_c = (cx, cy) * scale (coarse_matching.py:240-248 convention),
+    so the GT target is warp(grid_pt), NOT the label centroid — the
+    centroid sits up to ~scale/2 px from the grid point, a multi-degree
+    translation-direction bias at typical focal lengths (measured on the
+    learned loop: t_errs 2.4-7.9 deg). warp(grid_pt) is estimated from
+    the labels by a local-translation model:
+    warp(g) ~= centroid1 + (g - centroid0).
+
+    labels: (B, N, 4) resized-frame px; i_ids: (B, M) matched image0
+    cells; mkpts1_c: (B, M, 2). Returns (expec_gt (B, M, 2) normalized
+    by denom, has_gt (B, M))."""
+    hc, wc = hw_c
+    B = labels.shape[0]
+    Lc = hc * wc
+    cell0 = (jnp.clip((labels[..., 1] // scale), 0, hc - 1) * wc
+             + jnp.clip((labels[..., 0] // scale), 0, wc - 1)
+             ).astype(jnp.int32)
+    w = label_valid.astype(jnp.float32)
+    sum01 = jnp.zeros((B, Lc, 4))
+    sum01 = jax.vmap(lambda s, i, p, ww: s.at[i].add(p * ww[:, None]))(
+        sum01, cell0, labels, w)
+    cnt = jnp.zeros((B, Lc))
+    cnt = jax.vmap(lambda s, i, ww: s.at[i].add(ww))(cnt, cell0, w)
+    pos0 = sum01[..., 0:2] / jnp.maximum(cnt[..., None], 1.0)
+    pos1 = sum01[..., 2:4] / jnp.maximum(cnt[..., None], 1.0)
+
+    x = (i_ids % wc).astype(jnp.float32)
+    y = (i_ids // wc).astype(jnp.float32)
+    grid0 = jnp.stack([x, y], axis=-1) * float(scale)
+    gt1 = (jnp.take_along_axis(pos1, i_ids[..., None], axis=1)
+           + grid0 - jnp.take_along_axis(pos0, i_ids[..., None], axis=1))
+    has_gt = jnp.take_along_axis(cnt > 0, i_ids, axis=1)
+    return (gt1 - mkpts1_c) / denom, has_gt
+
+
 def coarse_focal_loss(conf: jax.Array, conf_gt: jax.Array,
                       alpha: float = 0.25, gamma: float = 2.0,
                       pos_weight: float = 1.0, neg_weight: float = 1.0,

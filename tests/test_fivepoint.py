@@ -145,7 +145,7 @@ def _pose_err(R_gt, t_gt, R, t):
     return max(r_err, t_err)
 
 
-def _run_grid_point(inlier_ratio, noise_px, n, n_scenes=12, thresh=0.5):
+def _run_grid_point(inlier_ratio, noise_px, n, n_scenes=50, thresh=0.5):
     import cv2
 
     rng = np.random.default_rng(int(inlier_ratio * 100 + noise_px * 10 + n))

@@ -36,6 +36,34 @@ def test_coarse_gt_from_labels_scatter():
     assert float(gt.sum()) == 1.0         # invalid label ignored
 
 
+def test_fine_gt_targets_grid_point_not_centroid():
+    """Labels drawn from an exact affine warp: the fine GT must be the
+    warp of the coarse grid point (cx, cy)*8, not of the label centroid
+    (which sits ~half a cell away — the round-2 learned-loop t_err bug)."""
+    rng = np.random.default_rng(0)
+    A = np.array([[1.02, 0.01], [-0.015, 0.98]])
+    b = np.array([3.3, -2.1])
+    # many labels scattered inside a 64x64 image (8x8 coarse grid)
+    p0 = rng.uniform(0, 64, (800, 2))
+    p1 = p0 @ A.T + b
+    labels = jnp.asarray(np.concatenate([p0, p1], -1)[None])
+    valid = jnp.ones((1, 800), bool)
+
+    i_ids = jnp.array([[9, 18, 27]])  # cells (1,1), (2,2), (3,3)
+    grid0 = np.array([[8.0, 8.0], [16.0, 16.0], [24.0, 24.0]])
+    # pretend the coarse stage matched to the true warped cell
+    true1 = grid0 @ A.T + b
+    mkpts1_c = jnp.asarray((np.floor(true1 / 8) * 8)[None])
+    denom = 4.0
+    expec_gt, has_gt = L.fine_gt_from_labels(
+        labels, valid, i_ids, mkpts1_c, (8, 8), 8, denom)
+    assert bool(has_gt.all())
+    got = np.asarray(expec_gt[0]) * denom + np.asarray(mkpts1_c[0])
+    # local-translation estimate is exact to first order; with A~I the
+    # second-order term is ~|A-I| * cell/2 ~ 0.08 px
+    np.testing.assert_allclose(got, true1, atol=0.3)
+
+
 def test_lightglue_gt_assignment_and_step():
     from gim_tpu.train.lightglue_loop import (assign_gt_matches,
                                               lightglue_loss,

@@ -106,12 +106,18 @@ def main(argv=None):
 
     ckpt_dir = join(args.work_dir, f"ckpt_{args.weight}")
     t0 = time.time()
+    # decay at 60/75/90% of the run (in epochs of the propagated store) —
+    # the reference milestones assume ~1e4-step epochs and would collapse
+    # the LR within ~1.5k steps on a store this small
+    miles = sorted({max(1, round(f * args.max_steps / max(n_items, 1)))
+                    for f in (0.6, 0.75, 0.9)})
     TR.main(["--weight", args.weight, "--labels_root", prop_root,
              "--video", video, "--img_size", str(args.img_size),
              "--batch_size", str(args.batch_size),
              "--max_steps", str(args.max_steps),
              "--lr", str(args.lr), "--warmup_steps", str(args.warmup),
-             "--ckpt_dir", ckpt_dir, "--save_interval", "250"])
+             "--milestones"] + [str(m) for m in miles]
+            + ["--ckpt_dir", ckpt_dir, "--save_interval", "250"])
     print(f"[loop] train: {time.time() - t0:.0f}s")
 
     # 5. eval: learned ckpt vs random init on the synthetic benchmark

@@ -91,6 +91,44 @@ def sample_nhwc(img: jax.Array, coords: jax.Array,
     return jnp.transpose(out, (0, 2, 1)).reshape(B, *lead, C)
 
 
+def sample_nhwc_packed(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """Bilinear sample via ONE row gather on a 4C corner-packed layout.
+
+    grid_sample costs 4 row gathers (one per bilinear corner); for the
+    narrow-channel maps the refiners warp (x_hat at scales 1-2: C=3/64,
+    i.e. 6-128 B rows vs the 256 B TPU lane tile) the gather is per-ROW
+    bound, not byte bound — so pre-pack the 4 corners of every pixel into
+    one 4C row (pack[h, w] = imgp[h..h+1, w..w+1] over a zero-padded
+    canvas) and gather once at (floor(y)+1, floor(x)+1). Same bytes
+    moved, 4x fewer gather rows. padding_mode='zeros' semantics,
+    bit-identical to sample_nhwc (tests/test_dkm.py)."""
+    B, H, W, C = img.shape
+    lead = coords.shape[1:-1]
+    pts = coords.reshape(B, -1, 2)
+    x = (pts[..., 0].astype(jnp.float32) + 1.0) * (0.5 * W) - 0.5
+    y = (pts[..., 1].astype(jnp.float32) + 1.0) * (0.5 * H) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None].astype(img.dtype)
+    fy = (y - y0)[..., None].astype(img.dtype)
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pack = jnp.concatenate([
+        imgp[:, :-1, :-1, :], imgp[:, :-1, 1:, :],
+        imgp[:, 1:, :-1, :], imgp[:, 1:, 1:, :]], axis=-1)
+    rows = pack.reshape(B, (H + 1) * (W + 1), 4 * C)
+    iy = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    ix = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    v = jnp.take_along_axis(rows, (iy * (W + 1) + ix)[..., None], axis=1)
+    v00, v01, v10, v11 = jnp.split(v, 4, axis=-1)
+    out = ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
+           + fy * (1 - fx) * v10 + fy * fx * v11)
+    # clipping corrupts rows only when ALL corners are out of bounds
+    # (|y0| or |x0| fully outside) — exactly the zeros-mode zero cases
+    ok = ((y > -1.0) & (y < float(H)) & (x > -1.0) & (x < float(W)))
+    out = out * ok[..., None].astype(out.dtype)
+    return out.reshape(B, *lead, C)
+
+
 @functools.lru_cache(maxsize=None)
 def _corner_selectors(K: int):
     """4 constant (Kp^2, K^2) 0/1 matrices picking each bilinear corner of
@@ -388,7 +426,14 @@ class ConvRefiner(nn.Module):
         y = y.astype(self.dtype)
         flow = flow.astype(jnp.float32)
         B, H, W, C = x.shape
-        x_hat = jax.lax.stop_gradient(sample_nhwc(y, flow))
+        # packed single-gather warp where rows are narrower than ~2 lane
+        # tiles (scales 1-2, the big-resolution passes where x_hat cost
+        # concentrates); wide-channel scales keep the 4-gather form
+        # (packing there quadruples a >=1 KB row for no row-count win)
+        if 4 * C <= 256:
+            x_hat = jax.lax.stop_gradient(sample_nhwc_packed(y, flow))
+        else:
+            x_hat = jax.lax.stop_gradient(sample_nhwc(y, flow))
         parts = [x, x_hat]
         if self.displacement_emb_dim:
             disp = flow - coords_grid(B, H, W)

@@ -93,11 +93,22 @@ def coarse_focal_loss(conf: jax.Array, conf_gt: jax.Array,
     """Dual-softmax focal loss (LoFTR-style) on conf in [0, 1].
 
     conf/conf_gt: (B, L, S). valid: (B, L, S) cells that are in-image.
+
+    The reference clamps conf to [1e-6, 1-1e-6] (LoFTR loss convention)
+    BEFORE the log. That is fine for fine-tuning (conf is structured),
+    but from scratch at L ~ 1e4 the dual-softmax starts uniform at
+    1/L^2 ~ 1e-8 — every positive cell sits below the clamp, the clip
+    zeroes its gradient, and the coarse head never trains (measured:
+    loss_c frozen at -alpha*ln(1e-6) = 3.4539 for 600+ steps at 840px).
+    We clamp only as a -inf guard (1e-30): d log(conf)/d logits is the
+    bounded log-softmax gradient, and the loss value is identical to the
+    reference's in its operating regime (conf > 1e-6).
     """
-    conf = jnp.clip(conf, 1e-6, 1 - 1e-6)
     pos = conf_gt > 0.5
-    loss_pos = -alpha * (1 - conf) ** gamma * jnp.log(conf)
-    loss_neg = -(1 - alpha) * conf ** gamma * jnp.log(1 - conf)
+    loss_pos = -alpha * (1 - conf) ** gamma \
+        * jnp.log(jnp.maximum(conf, 1e-30))
+    loss_neg = -(1 - alpha) * conf ** gamma \
+        * jnp.log(jnp.maximum(1 - conf, 1e-30))
     if valid is None:
         valid = jnp.ones_like(conf, bool)
     pos_m = pos & valid

@@ -181,3 +181,28 @@ def test_dkm_distort_aspect_end_to_end():
     assert (k0[:, 0] <= 64 * 2 + 1e-3).all() and (k0[:, 1] <= 48 * 2 + 1e-3).all()
     assert (k1[:, 0] <= 64 * 2 + 1e-3).all() and (k1[:, 1] <= 32 * 2 + 1e-3).all()
     assert (k0 >= -1e-3).all() and (k1 >= -1e-3).all()
+
+
+def test_sample_nhwc_packed_matches_grid_sample():
+    """Packed single-gather warp == 4-gather sample_nhwc == torch
+    grid_sample(zeros, align_corners=False), including out-of-range and
+    exactly-on-border coords."""
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 7, 9, 5)).astype(np.float32)
+    pts = rng.uniform(-1.4, 1.4, (2, 6, 11, 2)).astype(np.float32)
+    # exercise the exact border cases the clip-and-mask must get right
+    pts[0, 0, 0] = [-1.0, -1.0]
+    pts[0, 0, 1] = [1.0, 1.0]
+    pts[0, 0, 2] = [-1.0 - 2 / 9, 0.0]          # x lands exactly at -1 px
+    pts[0, 0, 3] = [0.0, 1.0 + 2 / 7]           # y lands exactly at H px
+
+    got = np.asarray(B.sample_nhwc_packed(jnp.asarray(img),
+                                          jnp.asarray(pts)))
+    ref4 = np.asarray(B.sample_nhwc(jnp.asarray(img), jnp.asarray(pts)))
+    np.testing.assert_allclose(got, ref4, atol=1e-6)
+
+    t = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2),
+                      torch.from_numpy(pts), mode="bilinear",
+                      padding_mode="zeros", align_corners=False)
+    np.testing.assert_allclose(got, t.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5)

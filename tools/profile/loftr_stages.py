@@ -40,7 +40,9 @@ def timeit(fn, *args, iters=8, rounds=3):
 
 # backbone on the 2B-concat batch (both images)
 bb = ResNetFPN(dtype="bfloat16")
-x = jax.random.uniform(jax.random.PRNGKey(0), (16, 832, 832, 1),
+# RGB: the GIM backbone is the 3-ch ResNet-50 variant (resnet.py:247-272);
+# a 1-ch input undercounts the stem and skews attribution
+x = jax.random.uniform(jax.random.PRNGKey(0), (16, 832, 832, 3),
                        jnp.bfloat16)
 try:
     v = jax.jit(bb.init)(jax.random.PRNGKey(1), x)

@@ -430,7 +430,10 @@ class ConvRefiner(nn.Module):
         # tiles (scales 1-2, the big-resolution passes where x_hat cost
         # concentrates); wide-channel scales keep the 4-gather form
         # (packing there quadruples a >=1 KB row for no row-count win)
-        if 4 * C <= 256:
+        import os
+        packed = (4 * C <= 256
+                  and os.environ.get("GIM_TPU_PACKED_WARP", "1") == "1")
+        if packed:
             x_hat = jax.lax.stop_gradient(sample_nhwc_packed(y, flow))
         else:
             x_hat = jax.lax.stop_gradient(sample_nhwc(y, flow))

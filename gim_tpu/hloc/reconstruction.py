@@ -101,15 +101,20 @@ def _db_add_pair(db, image_ids, kpts, n0, n1, m, verify):
 
 
 def incremental_mapping(db_path: str, image_dir: str, out_dir: str):
-    """pycolmap incremental SfM, largest model kept
-    (ref hloc/reconstruction.py:61-100). Gated: pycolmap is an optional
-    host dependency."""
+    """Incremental SfM, largest model kept (ref
+    hloc/reconstruction.py:61-100). Uses pycolmap when present (exact
+    reference behavior); otherwise runs the native batched mapper
+    (gim_tpu/hloc/mapper.py) and writes the same COLMAP text-model
+    artifacts."""
     try:
         import pycolmap
     except ImportError:
-        print("[reconstruction] pycolmap not installed - database written, "
-              "run COLMAP externally: colmap mapper --database_path ...")
-        return None
+        from gim_tpu.hloc.mapper import incremental_mapping_native
+
+        print("[reconstruction] pycolmap not installed - running the "
+              "native incremental mapper")
+        os.makedirs(out_dir, exist_ok=True)
+        return incremental_mapping_native(db_path, out_dir=join(out_dir, "0"))
     os.makedirs(out_dir, exist_ok=True)
     maps = pycolmap.incremental_mapping(db_path, image_dir, out_dir)
     if not maps:

@@ -64,7 +64,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="gim_lightglue",
                         choices=["gim_lightglue", "gim_loftr", "gim_dkm",
-                                 "gim_roma"])
+                                 "gim_roma", "root_sift"])
     parser.add_argument("--img0", default="assets/demo/a1.png")
     parser.add_argument("--img1", default="assets/demo/a2.png")
     parser.add_argument("--ckpt", default=None,
@@ -88,8 +88,9 @@ def main(argv=None):
     if args.ckpt:
         matcher = Matcher.from_checkpoint(args.model, args.ckpt)
     else:
-        print("[demo] no --ckpt given: running with random weights "
-              "(pipeline smoke test)")
+        if args.model != "root_sift":
+            print("[demo] no --ckpt given: running with random weights "
+                  "(pipeline smoke test)")
         matcher = Matcher(args.model)
 
     res = matcher.match(pp0.color[None], pp1.color[None])

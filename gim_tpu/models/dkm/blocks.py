@@ -405,13 +405,55 @@ class ConvRefiner(nn.Module):
     def block(self, x, out_dim, name):
         groups = x.shape[-1] if self.dw else 1
         k = self.kernel_size
-        x = nn.Conv(out_dim, (k, k), padding="SAME", dtype=self.dtype,
-                    feature_group_count=groups, name=f"{name}_conv1")(x)
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")(x)
-        x = nn.relu(x)
-        return nn.Conv(out_dim, (1, 1), dtype=self.dtype,
-                       name=f"{name}_conv2")(x)
+        conv1 = nn.Conv(out_dim, (k, k), padding="SAME", dtype=self.dtype,
+                        feature_group_count=groups, name=f"{name}_conv1")
+        bn = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")
+        conv2 = nn.Conv(out_dim, (1, 1), dtype=self.dtype,
+                        name=f"{name}_conv2")
+        return conv2(nn.relu(bn(conv1(x))))
+
+    def _fuse_hidden_blocks(self) -> bool:
+        """Fused single-pass Pallas blocks for the narrow-channel scales:
+        NHWC convs at C<=192 waste most of the 128-lane tile (see
+        ops/pallas_kernels/refiner.py). Inference only (BN running
+        stats); pure-depthwise hidden blocks only."""
+        import os
+
+        from gim_tpu.ops.pallas_kernels.dsmax import _interpret
+
+        flag = os.environ.get("GIM_TPU_FUSED_REFINER", "1")
+        # off-TPU the kernel would run interpreted (orders of magnitude
+        # slower than XLA CPU convs) — require the compiled path unless
+        # explicitly forced (tests force it on small shapes)
+        return (self.dw and not self.train and self.hidden_dim <= 192
+                and (flag == "force" or (flag == "1" and not _interpret())))
+
+    def _block_fused_chan(self, xc, out_dim, name):
+        """The same block math on channel-leading (B, C, H, W) input via
+        the fused kernel. Materializes the identical flax param tree via
+        a dummy NHWC call (DCE'd by XLA), so checkpoints are unaffected."""
+        from gim_tpu.ops.pallas_kernels.refiner import (fold_block_params,
+                                                        fused_dw_block)
+
+        k = self.kernel_size
+        conv1 = nn.Conv(out_dim, (k, k), padding="SAME", dtype=self.dtype,
+                        feature_group_count=out_dim, name=f"{name}_conv1")
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")
+        conv2 = nn.Conv(out_dim, (1, 1), dtype=self.dtype,
+                        name=f"{name}_conv2")
+        dummy = jnp.zeros((1, k, k, out_dim), xc.dtype)
+        _ = conv2(nn.relu(bn(conv1(dummy))))
+        params = self.variables["params"]
+        stats = self.variables["batch_stats"]
+        wdw, bdw, w1, b1 = fold_block_params(
+            params[f"{name}_conv1"], params[f"{name}_bn"],
+            stats[f"{name}_bn"], params[f"{name}_conv2"])
+        bh = 16 if out_dim <= 64 else 8
+        return fused_dw_block(xc, wdw.astype(xc.dtype),
+                              bdw.astype(xc.dtype), w1.astype(xc.dtype),
+                              b1.astype(xc.dtype), block_h=bh)
 
     @nn.compact
     def __call__(self, x, y, flow, logits=None, emb_scale: float = 1.0):
@@ -456,8 +498,16 @@ class ConvRefiner(nn.Module):
         parts = [p.astype(self.dtype) for p in parts]
         d = jnp.concatenate(parts, axis=-1)
         d = self.block(d, self.hidden_dim, "block1")
-        for i in range(self.hidden_blocks):
-            d = self.block(d, self.hidden_dim, f"hidden_{i}")
+        if self._fuse_hidden_blocks():
+            # one layout change around the whole chain, not per block
+            dc = jnp.transpose(d, (0, 3, 1, 2))
+            for i in range(self.hidden_blocks):
+                dc = self._block_fused_chan(dc, self.hidden_dim,
+                                            f"hidden_{i}")
+            d = jnp.transpose(dc, (0, 2, 3, 1))
+        else:
+            for i in range(self.hidden_blocks):
+                d = self.block(d, self.hidden_dim, f"hidden_{i}")
         d = nn.Conv(3, (1, 1), dtype=self.dtype, name="out_conv")(d)
         d = d.astype(jnp.float32)  # flow/certainty stay f32
         if self.disp_first:

@@ -1,0 +1,129 @@
+"""Fused ConvRefiner block: depthwise 5x5 + BN + ReLU + 1x1, one pass.
+
+The DKM/RoMa refiner block (ref dkm.py:27-47 ConvRefiner.create_block:
+dw-KxK conv, BatchNorm, ReLU, 1x1 conv) runs at the decoder's finest
+scales on tensors like (B, 1152, 1536, 24) and (B, 576, 768, 144). In
+NHWC those channel widths occupy 24/128 and 144/256 of the lane tile, so
+every XLA conv pays 2-5x padded HBM traffic, and the four ops are four
+round trips. This kernel runs the whole block in one HBM read + one HBM
+write in a channel-leading (B, C, H, W) layout where W rides the full
+128-lane axis:
+
+  - depthwise 5x5 as 25 shifted multiply-accumulates on the VPU over a
+    manually-DMA'd halo tile (grid blocks overlap by 4 rows, which
+    BlockSpec index maps cannot express — the input stays in ANY/HBM and
+    each step copies its (C, th+4, W+4) window),
+  - BatchNorm folded into the dw weights/bias on the host side (running
+    stats, inference only),
+  - ReLU on the accumulator,
+  - the 1x1 conv as one MXU contraction over C.
+
+Parity: tests/test_pallas_kernels.py checks against the flax block
+(NHWC lax.conv path) in interpret mode. Not used in training graphs
+(BN needs batch stats there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gim_tpu.ops.pallas_kernels.dsmax import _interpret
+
+
+def _kernel(xp_hbm, wdw_ref, bdw_ref, w1_ref, b1_ref, out_ref,
+            scratch, sem, *, th: int, K: int, W: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    C = wdw_ref.shape[0]
+
+    # halo'd input window: padded rows [i*th, i*th + th + K - 1)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[b, :, pl.ds(i * th, th + K - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    x = scratch[:]                                   # (C, th+K-1, W+K-1)
+    acc = jnp.zeros((C, th, W), jnp.float32)
+    for a in range(K):
+        for bb in range(K):
+            tap = wdw_ref[:, a * K + bb]             # (C,)
+            acc = acc + tap[:, None, None].astype(jnp.float32) \
+                * x[:, a:a + th, bb:bb + W].astype(jnp.float32)
+    h = jnp.maximum(acc + bdw_ref[:, 0][:, None, None].astype(jnp.float32),
+                    0.0)
+    h = h.astype(w1_ref.dtype)
+    # 1x1 conv: contraction over the leading channel dim on the MXU
+    out = jax.lax.dot_general(
+        w1_ref[:], h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (C_out, th, W)
+    out = out + b1_ref[:, 0][:, None, None].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
+def fused_dw_block(x: jax.Array, wdw: jax.Array, bdw: jax.Array,
+                   w1: jax.Array, b1: jax.Array, block_h: int = 16,
+                   interpret: bool | None = None) -> jax.Array:
+    """x: (B, C, H, W); wdw: (C, K*K) BN-folded depthwise taps (row-major
+    dy, dx); bdw: (C,) folded bias; w1: (C_out, C); b1: (C_out,).
+    Returns (B, C_out, H, W) in x.dtype."""
+    B, C, H, W = x.shape
+    KK = wdw.shape[1]
+    K = int(round(KK ** 0.5))
+    r = K // 2
+    th = min(block_h, H)
+    nh = -(-H // th)
+    hp = nh * th
+    # pad: dw halo (r each side) + bottom padding to a whole tile grid
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r + (hp - H)), (r, r)))
+    C_out = w1.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, th=th, K=K, W=W),
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C, KK), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_out, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_out, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C_out, th, W), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C_out, hp, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, th + K - 1, W + K - 1), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret() if interpret is None else interpret,
+    )(xp, wdw, bdw[:, None], w1, b1[:, None])
+    return out[:, :, :H]
+
+
+def fold_block_params(conv1: dict, bn: dict, bn_stats: dict, conv2: dict,
+                      eps: float = 1e-5):
+    """Fold flax {conv1(dw), bn, conv2(1x1)} params into kernel inputs.
+
+    conv1["kernel"]: (K, K, 1, C) depthwise; bn: scale/bias; bn_stats:
+    mean/var; conv2["kernel"]: (1, 1, C, C_out).
+    Returns (wdw (C, K*K), bdw (C,), w1 (C_out, C), b1 (C_out,))."""
+    kd = conv1["kernel"]                             # (K, K, 1, C)
+    K = kd.shape[0]
+    C = kd.shape[-1]
+    s = bn["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    t = bn["bias"] - bn_stats["mean"] * s
+    wdw = (kd[:, :, 0, :] * s[None, None, :]).transpose(2, 0, 1) \
+        .reshape(C, K * K)
+    bdw = conv1.get("bias", jnp.zeros(C, kd.dtype)) * s + t
+    w1 = conv2["kernel"][0, 0].T                     # (C_out, C)
+    b1 = conv2.get("bias", jnp.zeros(w1.shape[0], kd.dtype))
+    return wdw, bdw, w1, b1

@@ -206,3 +206,31 @@ def test_sample_nhwc_packed_matches_grid_sample():
                       padding_mode="zeros", align_corners=False)
     np.testing.assert_allclose(got, t.permute(0, 2, 3, 1).numpy(),
                                atol=1e-5)
+
+
+def test_conv_refiner_fused_hidden_blocks_match_xla(monkeypatch):
+    """ConvRefiner with GIM_TPU_FUSED_REFINER=force must reproduce the
+    XLA path bit-for-bit-ish on the same param tree (the fused kernel
+    reads the identical flax params via the dummy-call materialization)."""
+    import jax
+
+    from gim_tpu.models.dkm.blocks import ConvRefiner
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 1, 19, 33, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.random((B, H, W, 2)) * 1.6 - 0.8).astype(np.float32))
+    m = ConvRefiner(in_dim=2 * C + 4, hidden_dim=2 * C + 4,
+                    hidden_blocks=3, displacement_emb_dim=4, train=False)
+    variables = m.init(jax.random.PRNGKey(0), x, y, flow)
+
+    monkeypatch.setenv("GIM_TPU_FUSED_REFINER", "0")
+    cert0, disp0 = m.apply(variables, x, y, flow)
+    monkeypatch.setenv("GIM_TPU_FUSED_REFINER", "force")
+    cert1, disp1 = m.apply(variables, x, y, flow)
+    np.testing.assert_allclose(np.asarray(cert1), np.asarray(cert0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(disp1), np.asarray(disp0),
+                               rtol=1e-4, atol=1e-4)

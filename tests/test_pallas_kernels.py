@@ -1,6 +1,7 @@
 """Pallas kernel parity vs dense jnp reference (interpret mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,3 +53,66 @@ def test_dsmax_kernel_masked():
     # invalid rows must be non-mutual with zero confidence
     assert not np.asarray(mu)[~keep].any()
     assert (np.asarray(vb)[~keep] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# fused ConvRefiner block (refiner.py)
+# ---------------------------------------------------------------------------
+
+def _flax_block_reference(x_nhwc, params, eps=1e-5):
+    """The exact op sequence of ConvRefiner.block (dw conv SAME + BN
+    running stats + relu + 1x1), NHWC lax ops."""
+    kd = params["conv1"]["kernel"]                   # (K, K, 1, C)
+    C = kd.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x_nhwc, kd, (1, 1), "SAME", feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + params["conv1"]["bias"]
+    s = params["bn"]["scale"] / np.sqrt(params["bn_stats"]["var"] + eps)
+    y = (y - params["bn_stats"]["mean"]) * s + params["bn"]["bias"]
+    y = jnp.maximum(y, 0.0)
+    y = jnp.einsum("bhwc,cd->bhwd", y, params["conv2"]["kernel"][0, 0])
+    return y + params["conv2"]["bias"]
+
+
+def _rand_block_params(rng, C, C_out, K=5):
+    return {
+        "conv1": {"kernel": jnp.asarray(
+            rng.standard_normal((K, K, 1, C)).astype(np.float32)) * 0.2,
+            "bias": jnp.asarray(rng.standard_normal(C).astype(np.float32))
+            * 0.1},
+        "bn": {"scale": jnp.asarray(
+            1.0 + 0.1 * rng.standard_normal(C).astype(np.float32)),
+            "bias": jnp.asarray(
+                0.1 * rng.standard_normal(C).astype(np.float32))},
+        "bn_stats": {"mean": jnp.asarray(
+            0.1 * rng.standard_normal(C).astype(np.float32)),
+            "var": jnp.asarray(
+                (1.0 + 0.2 * rng.random(C)).astype(np.float32))},
+        "conv2": {"kernel": jnp.asarray(
+            rng.standard_normal((1, 1, C, C_out)).astype(np.float32)) * 0.2,
+            "bias": jnp.asarray(
+                0.1 * rng.standard_normal(C_out).astype(np.float32))},
+    }
+
+
+@pytest.mark.parametrize("shape,C_out,bh", [
+    ((2, 24, 37, 256), 24, 16),      # scale-1-like: narrow C, odd H
+    ((1, 40, 16, 128), 56, 8),       # C_out != C_in, H == block
+    ((1, 8, 5, 384), 8, 16),         # H smaller than block
+])
+def test_fused_refiner_block_matches_flax(shape, C_out, bh):
+    from gim_tpu.ops.pallas_kernels.refiner import (fold_block_params,
+                                                    fused_dw_block)
+
+    rng = np.random.default_rng(3)
+    B, C, H, W = shape
+    x = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    params = _rand_block_params(rng, C, C_out)
+    want = _flax_block_reference(jnp.transpose(x, (0, 2, 3, 1)), params)
+    wdw, bdw, w1, b1 = fold_block_params(
+        params["conv1"], params["bn"], params["bn_stats"], params["conv2"])
+    got = fused_dw_block(x, wdw, bdw, w1, b1, block_h=bh)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 2, 3, 1))), np.asarray(want),
+        rtol=1e-4, atol=1e-4)

@@ -41,9 +41,14 @@ def _kernel(xp_hbm, wdw_ref, bdw_ref, w1_ref, b1_ref, out_ref,
     i = pl.program_id(1)
     C = wdw_ref.shape[0]
 
-    # halo'd input window: padded rows [i*th, i*th + th + K - 1)
+    # halo'd input window. Mosaic requires HBM->VMEM slice offsets/sizes
+    # to be 8-row (sublane) aligned, so with th % 8 == 0 and top padding
+    # of exactly r rows we copy the aligned window [i*th, i*th + th + 8):
+    # output row t reads scratch rows t..t+K-1 (halo r above, the last
+    # 8-(K-1) copied rows are unused alignment slack).
+    hwin = th + (-(K - 1)) % 8 + (K - 1)
     dma = pltpu.make_async_copy(
-        xp_hbm.at[b, :, pl.ds(i * th, th + K - 1), :], scratch, sem)
+        xp_hbm.at[b, :, pl.ds(i * th, hwin), :], scratch, sem)
     dma.start()
     dma.wait()
 
@@ -52,17 +57,26 @@ def _kernel(xp_hbm, wdw_ref, bdw_ref, w1_ref, b1_ref, out_ref,
     for a in range(K):
         for bb in range(K):
             tap = wdw_ref[:, a * K + bb]             # (C,)
-            acc = acc + tap[:, None, None].astype(jnp.float32) \
+            # cast BEFORE inserting minor dims: Mosaic only supports
+            # non-no-op minor-dim insertion on 32-bit vectors (bf16
+            # tap[:, None, None] fails to compile on real TPU)
+            acc = acc + tap.astype(jnp.float32)[:, None, None] \
                 * x[:, a:a + th, bb:bb + W].astype(jnp.float32)
-    h = jnp.maximum(acc + bdw_ref[:, 0][:, None, None].astype(jnp.float32),
+    h = jnp.maximum(acc + bdw_ref[:, 0].astype(jnp.float32)[:, None, None],
                     0.0)
     h = h.astype(w1_ref.dtype)
-    # 1x1 conv: contraction over the leading channel dim on the MXU
-    out = jax.lax.dot_general(
-        w1_ref[:], h, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (C_out, th, W)
-    out = out + b1_ref[:, 0][:, None, None].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # 1x1 conv: contraction over the leading channel dim on the MXU.
+    # Mosaic supports only 2D matmuls (a 2Dx3D dot_general fails layout
+    # inference: "unsupported shape cast"), so run one (C_out,C)x(C,W)
+    # matmul per row with direct stores — th is 8/16 and the kernel is
+    # HBM-bound, so the unroll costs nothing.
+    b1 = b1_ref[:, 0].astype(jnp.float32)[:, None]   # (C_out, 1)
+    for t in range(th):
+        row = jax.lax.dot_general(
+            w1_ref[:], h[:, t, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (C_out, W)
+        out_ref[0, :, t, :] = (row + b1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
@@ -76,15 +90,27 @@ def fused_dw_block(x: jax.Array, wdw: jax.Array, bdw: jax.Array,
     KK = wdw.shape[1]
     K = int(round(KK ** 0.5))
     r = K // 2
-    th = min(block_h, H)
+    # th must be 8-row aligned (DMA slice offsets i*th and sizes must sit
+    # on sublane boundaries)
+    th = min(block_h, -(-H // 8) * 8)
     nh = -(-H // th)
     hp = nh * th
-    # pad: dw halo (r each side) + bottom padding to a whole tile grid
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r + (hp - H)), (r, r)))
+    # pad: dw halo (r top, r left/right) + enough bottom rows that the
+    # last block's aligned copy window [(nh-1)*th, (nh-1)*th + hwin) and
+    # the dw reads stay in bounds
+    hwin = th + (-(K - 1)) % 8 + (K - 1)
+    # lane alignment: both the DMA'd window and the output stores must be
+    # 128-multiple wide (stores at W=1344 fail layout inference), so
+    # compute on Wc = ceil(W/128)*128 columns (the slack is zero padding,
+    # sliced off at the end) over a Wc+128 scratch that holds the halo
+    Wc = -(-W // 128) * 128
+    Wp = Wc + 128
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, (nh - 1) * th + hwin - r - H),
+                     (r, Wp - W - r)))
     C_out = w1.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, K=K, W=W),
+        functools.partial(_kernel, th=th, K=K, W=Wc),
         grid=(B, nh),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -97,16 +123,21 @@ def fused_dw_block(x: jax.Array, wdw: jax.Array, bdw: jax.Array,
             pl.BlockSpec((C_out, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C_out, th, W), lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, C_out, th, Wc),
+                               lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C_out, hp, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C_out, hp, Wc), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, th + K - 1, W + K - 1), x.dtype),
+            pltpu.VMEM((C, hwin, Wp), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the halo scratch + f32 accumulator exceed the default 16M
+        # scoped-vmem budget at the wide scales; v5e VMEM is 128M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret() if interpret is None else interpret,
     )(xp, wdw, bdw[:, None], w1, b1[:, None])
-    return out[:, :, :H]
+    return out[:, :, :H, :W]
 
 
 def fold_block_params(conv1: dict, bn: dict, bn_stats: dict, conv2: dict,

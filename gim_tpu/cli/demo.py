@@ -135,6 +135,33 @@ def main(argv=None):
         if np.isfinite(Hm).all() and abs(Hm[2, 2]) > 1e-9:
             fig2 = warp_figure(rgb0, rgb1, Hm / Hm[2, 2])
             cv2.imwrite(str(out_dir / f"{stem}_warp.png"), fig2[..., ::-1])
+
+    # uncalibrated stereo rectification from the on-chip F (reference
+    # demo.py:218-225 cv2.stereoRectifyUncalibrated + :230-266 warp figure;
+    # the reference itself runs this on host cv2)
+    if inliers.sum() >= 8:
+        F = np.asarray(fit.model).astype(np.float64)
+        if np.isfinite(F).all() and np.abs(F).max() > 0:
+            # fit.model lives in the resized frame; move it to the original
+            # pixel frame: x_orig = D x_resized with D = diag(sx, sy, 1),
+            # so F_orig = D1^-T F D0^-1
+            D0 = np.diag([1.0 / s0[0], 1.0 / s0[1], 1.0])
+            D1 = np.diag([1.0 / s1[0], 1.0 / s1[1], 1.0])
+            Fo = D1.T @ F @ D0
+            h0_, w0_ = rgb0.shape[:2]
+            h1_, w1_ = rgb1.shape[:2]
+            ok, H1, H2 = cv2.stereoRectifyUncalibrated(
+                k0o[inliers].reshape(-1, 2), k1o[inliers].reshape(-1, 2),
+                Fo, imgSize=(w0_, h0_))
+            if ok:
+                r0 = cv2.warpPerspective(rgb0, H1, (w0_, h0_))
+                r1 = cv2.warpPerspective(rgb1, H2, (w1_, h1_))
+                Hh = max(h0_, h1_)
+                fig3 = np.zeros((Hh, w0_ + w1_ + 10, 3), np.uint8)
+                fig3[:h0_, :w0_] = r0
+                fig3[:h1_, w0_ + 10:] = r1
+                cv2.imwrite(str(out_dir / f"{stem}_rect.png"),
+                            fig3[..., ::-1])
     print(f"[demo] wrote {out_dir}/{stem}_match.png")
 
 

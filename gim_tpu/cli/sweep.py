@@ -33,6 +33,9 @@ def main(argv=None):
                    help="default: 16 for gim_lightglue, 1 otherwise "
                         "(ref TEST_GIM_LIGHTGLUE.sh:3)")
     p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--img_size", type=int, default=None,
+                   help="override every dataset's ZebSpec img_size "
+                        "(smoke runs; the reference default is per-dataset)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--ransac", default="MAGSAC")
@@ -64,6 +67,8 @@ def main(argv=None):
             argv_one += ["--ckpt", args.ckpt]
         if args.max_samples:
             argv_one += ["--max_samples", str(args.max_samples)]
+        if args.img_size:
+            argv_one += ["--img_size", str(args.img_size)]
         if args.overwrite:
             argv_one += ["--overwrite"]
         print(f"[sweep] {key} (img_size {spec.img_size}, bs {bs})")

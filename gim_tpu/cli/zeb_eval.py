@@ -146,19 +146,11 @@ def main(argv=None):
 
     n_proc, pid = jax.process_count(), jax.process_index()
     if n_proc > 1:
-        # establish the cross-host communicator clique NOW, while ranks
-        # are still in lockstep, and let rank 0 compile+broadcast shared
-        # binaries: the Gloo TCP pair connect has a short (~30 s)
-        # non-configurable timeout, and per-rank compile skew (minutes on
-        # a contended host) otherwise trips it at the first collective
-        try:
-            jax.config.update("jax_share_binary_between_hosts", True)
-            jax.config.update("jax_share_binary_between_hosts_timeout_ms",
-                               20 * 60 * 1000)
-        except Exception:
-            pass
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("zeb_eval_start")
+        # coordination-service barrier (gRPC, long timeout) — never a Gloo
+        # device collective, whose ~30 s non-configurable connect window
+        # trips under per-rank compile skew; the metric gather below rides
+        # the same KV store (gather_rows_multihost)
+        E.barrier_multihost("zeb_eval_start")
         per = -(-len(pairs) // n_proc)
         padded = pairs + pairs[:per * n_proc - len(pairs)]
         pairs = padded[pid::n_proc]

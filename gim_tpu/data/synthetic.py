@@ -115,7 +115,12 @@ def write_synthetic_video(path: str, n_frames: int = 2400, fps: float = 30.0,
     import cv2
 
     rng = np.random.default_rng(seed)
-    K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1.0]])
+    # focal scales with frame size (520px at the 640-wide default): a fixed
+    # focal at small test frames inflates rotation-induced per-frame pixel
+    # motion ~W_default/W x, washing out the scene-cut contrast the
+    # factory's bad-pair rejection is validated against
+    f = 520.0 * W / 640.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
     n1 = np.array([0.05, 0.02, -1.0])
     n2 = np.array([-0.03, 0.06, -1.0])
     per = n_frames // n_scenes

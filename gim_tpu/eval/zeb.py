@@ -146,16 +146,68 @@ def evaluate(match, batches, *, key=None, ransac_thresh: float = 0.5,
     return rows
 
 
-def gather_rows_multihost(rows: list[dict]) -> list[dict]:
-    """Cross-host metric gather for pod eval — fixed-size pickled-bytes
-    allgather via multihost_utils, the replacement for the reference's
-    Gloo object all_gather (ref tools/comm.py:95-176). No-op single-host."""
+def _coordination_client():
+    """The jax.distributed coordination-service client (gRPC KV store +
+    barriers), or None outside a distributed context."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client
+    except Exception:
+        return None
+
+
+def barrier_multihost(name: str, timeout_ms: int = 20 * 60 * 1000) -> None:
+    """Cross-process barrier over the coordination service (pure gRPC to
+    the coordinator, generous configurable timeout) — NOT a device
+    collective: CPU-backend collectives ride Gloo, whose ~30 s
+    non-configurable TCP-pair connect window trips under per-rank compile
+    skew on contended hosts (the reference's DDP never faces this because
+    NCCL init happens before any compile, ref test.py:193-198)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    client = _coordination_client()
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+_GATHER_CALLS = [0]  # per-process call counter; ranks call in lockstep
+
+
+def gather_rows_multihost(rows: list[dict],
+                          timeout_ms: int = 20 * 60 * 1000) -> list[dict]:
+    """Cross-host metric gather for pod eval — pickled rows through the
+    coordination-service KV store (the replacement for the reference's
+    Gloo object all_gather, ref tools/comm.py:95-176). Skew-tolerant: each
+    rank publishes its blob then blocks on the others with a long timeout;
+    no Gloo clique is ever built. No-op single-host."""
     import jax
 
     if jax.process_count() == 1:
         return rows
     import pickle
 
+    client = _coordination_client()
+    if client is not None:
+        call_n = _GATHER_CALLS[0]
+        _GATHER_CALLS[0] += 1
+        pid = jax.process_index()
+        client.key_value_set_bytes(f"zeb_rows/{call_n}/{pid}",
+                                   pickle.dumps(rows))
+        out = []
+        for p in range(jax.process_count()):
+            blob = client.blocking_key_value_get_bytes(
+                f"zeb_rows/{call_n}/{p}", timeout_ms)
+            out.extend(pickle.loads(blob))
+        return out
+
+    # fallback (no coordination service): padded-bytes device allgather
     import numpy as np
     from jax.experimental import multihost_utils
 

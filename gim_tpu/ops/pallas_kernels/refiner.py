@@ -45,8 +45,10 @@ def _kernel(xp_hbm, wdw_ref, bdw_ref, w1_ref, b1_ref, out_ref,
     # to be 8-row (sublane) aligned, so with th % 8 == 0 and top padding
     # of exactly r rows we copy the aligned window [i*th, i*th + th + 8):
     # output row t reads scratch rows t..t+K-1 (halo r above, the last
-    # 8-(K-1) copied rows are unused alignment slack).
-    hwin = th + (-(K - 1)) % 8 + (K - 1)
+    # 8-(K-1) copied rows are unused alignment slack). The scratch shape
+    # is the single source of truth for the window height (fused_dw_block
+    # sizes it as th + (-(K-1)) % 8 + (K-1)).
+    hwin = scratch.shape[1]
     dma = pltpu.make_async_copy(
         xp_hbm.at[b, :, pl.ds(i * th, hwin), :], scratch, sem)
     dma.start()
@@ -91,8 +93,9 @@ def fused_dw_block(x: jax.Array, wdw: jax.Array, bdw: jax.Array,
     K = int(round(KK ** 0.5))
     r = K // 2
     # th must be 8-row aligned (DMA slice offsets i*th and sizes must sit
-    # on sublane boundaries)
-    th = min(block_h, -(-H // 8) * 8)
+    # on sublane boundaries) — round a non-multiple block_h up rather than
+    # silently emitting unaligned DMA offsets on real TPU
+    th = min(-(-block_h // 8) * 8, -(-H // 8) * 8)
     nh = -(-H // th)
     hp = nh * th
     # pad: dw halo (r top, r left/right) + enough bottom rows that the
@@ -132,9 +135,18 @@ def fused_dw_block(x: jax.Array, wdw: jax.Array, bdw: jax.Array,
             pltpu.SemaphoreType.DMA(()),
         ],
         # the halo scratch + f32 accumulator exceed the default 16M
-        # scoped-vmem budget at the wide scales; v5e VMEM is 128M
+        # scoped-vmem budget at the wide scales. Raise the limit only as
+        # far as this shape needs (2x a byte estimate of scratch + f32
+        # accumulator + in/out blocks) so small shapes keep the default
+        # and the kernel stays compilable on generations with less VMEM
+        # than the v5e's 128M.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=max(
+                16 * 1024 * 1024,
+                2 * (C * hwin * Wp * x.dtype.itemsize      # halo scratch
+                     + C * th * Wc * 4                     # f32 acc
+                     + (C + C_out) * th * Wc * 4           # h + out rows
+                     + (C * KK + C_out * C) * 4))),
         interpret=_interpret() if interpret is None else interpret,
     )(xp, wdw, bdw[:, None], w1, b1[:, None])
     return out[:, :, :H, :W]

@@ -100,6 +100,8 @@ def _rand_block_params(rng, C, C_out, K=5):
     ((2, 24, 37, 256), 24, 16),      # scale-1-like: narrow C, odd H
     ((1, 40, 16, 128), 56, 8),       # C_out != C_in, H == block
     ((1, 8, 5, 384), 8, 16),         # H smaller than block
+    ((1, 16, 12, 200), 16, 16),      # W not a 128-multiple (Wc > W slack)
+    ((1, 8, 24, 1344), 8, 12),       # RoMa-like W; block_h not 8-aligned
 ])
 def test_fused_refiner_block_matches_flax(shape, C_out, bh):
     from gim_tpu.ops.pallas_kernels.refiner import (fold_block_params,

@@ -92,8 +92,12 @@ def main(argv=None):
         from gim_tpu.models.dkm import init_params as dkm_init
         from gim_tpu.train.dense_losses import dkm_train_step
 
-        # README.md:242: gim-dkm trains at 896x672 (w x h)
-        cfg = replace(cfg, dkm=replace(cfg.dkm, upsample_preds=False))
+        # README.md:242: gim-dkm trains at 896x672 (w x h); the model
+        # resolution follows --img_size so training compute actually runs
+        # at the requested size (train_corresps resizes to h/w_resized)
+        cfg = replace(cfg, dkm=replace(cfg.dkm, upsample_preds=False,
+                                       h_resized=args.img_size,
+                                       w_resized=args.img_size))
         init = lambda k: dkm_init(k, cfg.dkm, input_hw=(args.img_size,
                                                         args.img_size))
         step_fn = dkm_train_step

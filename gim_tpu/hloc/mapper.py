@@ -424,6 +424,23 @@ def _triangulate_two(P0, P1, uv0, uv1):
     return X[:, :3] / np.where(np.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
 
 
+def _triangulate_multiview(Ps, uvs, w):
+    """Batched MULTI-VIEW DLT (the reference gets this from COLMAP's C++
+    IncrementalTriangulator; /root/reference/hloc/reconstruction.py:61-100).
+    Ps: (T, M, 3, 4) K-normalized projections, uvs: (T, M, 2) normalized
+    coords, w: (T, M) observation mask (rows with w=0 are padding).
+    Returns (T, 3); cheirality is checked by the caller."""
+    r0 = uvs[..., 0:1] * Ps[:, :, 2, :] - Ps[:, :, 0, :]   # (T, M, 4)
+    r1 = uvs[..., 1:2] * Ps[:, :, 2, :] - Ps[:, :, 1, :]
+    A = np.concatenate([r0 * w[..., None], r1 * w[..., None]], 1)
+    B = A.transpose(0, 2, 1) @ A                            # (T, 4, 4)
+    _, vecs = np.linalg.eigh(B)
+    Xh = vecs[..., 0]                                       # (T, 4)
+    s = Xh[:, 3:]
+    s = np.where(np.abs(s) < 1e-12, 1e-12, s)
+    return Xh[:, :3] / s
+
+
 def incremental_mapping_native(db_path: str, out_dir: str | None = None,
                                reproj_thresh_px: float = 4.0,
                                min_pnp_points: int = 8,
@@ -446,10 +463,13 @@ def incremental_mapping_native(db_path: str, out_dir: str | None = None,
         return rec
     Ks = {n: camera_K(cameras[images[n]["camera_id"]]) for n in images}
 
+    # normalized keypoints precomputed once per image (hot in
+    # triangulation/filtering inner loops)
+    nkpts = {n: ((kpts[n] - Ks[n][[0, 1], [2, 2]]) / Ks[n][[0, 1], [0, 1]])
+             if len(kpts[n]) else kpts[n] for n in images}
+
     def norm(name, idx):
-        K = Ks[name]
-        p = kpts[name][idx]
-        return (p - K[[0, 1], [2, 2]]) / K[[0, 1], [0, 1]]
+        return nkpts[name][idx]
 
     # thresholds in normalized coords (per-image mean focal)
     def nthr(name):
@@ -524,23 +544,30 @@ def incremental_mapping_native(db_path: str, out_dir: str | None = None,
         return obs
 
     def filter_points():
-        """Drop points with bad reprojection in any registered view."""
+        """Drop points with bad reprojection in any registered view
+        (vectorized over the whole observation set)."""
         if len(rec.xyz) == 0:
             return
-        keep = np.ones(len(rec.xyz), bool)
+        pis, Rs, ts, uvn, thr = [], [], [], [], []
         for pi, tr in enumerate(rec.track_obs):
             for nm, ki in tr:
                 if nm not in rec.poses:
                     continue
                 R, t = rec.poses[nm]
-                y = R @ rec.xyz[pi] + t
-                if y[2] < 1e-6:
-                    keep[pi] = False
-                    break
-                err = np.linalg.norm(y[:2] / y[2] - norm(nm, ki))
-                if err > nthr(nm):
-                    keep[pi] = False
-                    break
+                pis.append(pi)
+                Rs.append(R)
+                ts.append(t)
+                uvn.append(nkpts[nm][ki])
+                thr.append(nthr(nm))
+        keep = np.ones(len(rec.xyz), bool)
+        if pis:
+            pis = np.asarray(pis)
+            y = (np.einsum("oij,oj->oi", np.stack(Rs), rec.xyz[pis])
+                 + np.stack(ts))
+            behind = y[:, 2] < 1e-6
+            proj = y[:, :2] / np.where(behind[:, None], 1.0, y[:, 2:])
+            err = np.linalg.norm(proj - np.stack(uvn), axis=1)
+            keep[pis[behind | (err > np.asarray(thr))]] = False
         if keep.all():
             return
         remap = -np.ones(len(rec.xyz), int)
@@ -556,6 +583,56 @@ def incremental_mapping_native(db_path: str, out_dir: str | None = None,
 
     rec.xyz = bundle_adjust(rec.poses, rec.xyz, observations())
     filter_points()
+
+    # registered-observation count per track (drives candidate selection
+    # for batched multi-view triangulation)
+    reg_count = np.zeros(len(tracks), np.int32)
+    for nm in rec.poses:
+        for _ki, _ti in track_of[nm].items():
+            reg_count[_ti] += 1
+
+    MAX_TRI_OBS = 16   # DLT observation cap per track (memory bound)
+
+    def triangulate_new() -> int:
+        """Batched multi-view triangulation of all untriangulated tracks
+        with >= 2 registered observations. Returns #points added."""
+        untri = np.ones(len(tracks), bool)
+        for ti in point_of_track:
+            untri[ti] = False
+        cand = np.where(untri & (reg_count >= 2))[0]
+        if len(cand) == 0:
+            return 0
+        Pcache = {nm: np.concatenate([R, np.asarray(t).reshape(3, 1)], 1)
+                  for nm, (R, t) in rec.poses.items()}
+        per_track = [[(nm, ki) for nm, ki in tracks[ti]
+                      if nm in rec.poses][:MAX_TRI_OBS] for ti in cand]
+        T = len(cand)
+        M = max(len(r) for r in per_track)
+        P_arr = np.zeros((T, M, 3, 4))
+        uv_arr = np.zeros((T, M, 2))
+        w_arr = np.zeros((T, M))
+        for i, reg in enumerate(per_track):
+            for j, (nm, ki) in enumerate(reg):
+                P_arr[i, j] = Pcache[nm]
+                uv_arr[i, j] = nkpts[nm][ki]
+                w_arr[i, j] = 1.0
+        X = _triangulate_multiview(P_arr, uv_arr, w_arr)
+        # cheirality in EVERY registered view (padding rows exempt)
+        z = (np.einsum("tmij,tj->tmi", P_arr[..., :3], X)[..., 2]
+             + P_arr[:, :, 2, 3])
+        ok = (((z > 1e-6) | (w_arr == 0)).all(1)
+              & np.isfinite(X).all(1))
+        acc = np.where(ok)[0]
+        if len(acc) == 0:
+            return 0
+        base = len(rec.xyz)
+        rec.xyz = (np.concatenate([rec.xyz, X[acc]], 0)
+                   if len(rec.xyz) else X[acc])
+        for k, i in enumerate(acc):
+            ti = int(cand[i])
+            point_of_track[ti] = base + k
+            rec.track_obs.append(list(tracks[ti]))
+        return len(acc)
 
     # --- incremental registration ---
     key = jax.random.PRNGKey(seed + 1)
@@ -590,30 +667,13 @@ def incremental_mapping_native(db_path: str, out_dir: str | None = None,
             print(f"[mapper] registered {best_name}: "
                   f"{ninl}/{len(corr)} PnP inliers")
 
-        # triangulate tracks that now have >= 2 registered observations
-        new_pts = 0
-        for ti, tr in enumerate(tracks):
-            if ti in point_of_track:
-                continue
-            reg = [(nm, ki) for nm, ki in tr if nm in rec.poses]
-            if len(reg) < 2:
-                continue
-            (na, ka), (nb, kb) = reg[0], reg[-1]
-            Ra, ta = rec.poses[na]
-            Rb, tb = rec.poses[nb]
-            Xn = _triangulate_two(
-                np.concatenate([Ra, np.array(ta).reshape(3, 1)], 1),
-                np.concatenate([Rb, np.array(tb).reshape(3, 1)], 1),
-                norm(na, np.array([ka])), norm(nb, np.array([kb])))[0]
-            za = (Ra @ Xn + ta)[2]
-            zb = (Rb @ Xn + tb)[2]
-            if za < 1e-6 or zb < 1e-6:
-                continue
-            point_of_track[ti] = len(rec.xyz)
-            rec.xyz = np.concatenate([rec.xyz, Xn[None]], 0) \
-                if len(rec.xyz) else Xn[None]
-            rec.track_obs.append(list(tr))
-            new_pts += 1
+        # triangulate tracks that now have >= 2 registered observations —
+        # multi-view DLT over ALL registered observations (capped), batched
+        # across tracks (one eigh over (T, 4, 4) instead of a per-track
+        # Python loop)
+        for ki, ti in track_of[best_name].items():
+            reg_count[ti] += 1
+        new_pts = triangulate_new()
         rec.xyz = bundle_adjust(rec.poses, rec.xyz, observations())
         filter_points()
         if verbose:

@@ -134,6 +134,40 @@ def test_structure_matches_gt(scene):
     assert np.median(err) < 0.02, np.median(err)
 
 
+@pytest.mark.slow
+def test_sixty_image_scene(tmp_path):
+    """The reference's operating envelope (hundreds of exhaustive pairs,
+    ref hloc/reconstruction.py:61-100): 60 cameras, 1770 verified pairs.
+    Exercises the batched multi-view triangulation + vectorized filtering
+    paths at scale (VERDICT round-3 item 10)."""
+    names, cams, pts, K, wh, kpts, vis, order = _make_scene(
+        n_cams=60, n_pts=400, seed=1)
+    db = tmp_path / "database.db"
+    _write_db(db, names, K, wh, kpts, order)
+    rec = M.incremental_mapping_native(str(db), verbose=False)
+    assert rec.num_reg_images() == len(names)
+    assert rec.num_points3D() > 200
+
+    C_est = np.array([-(np.asarray(R).T @ t) for R, t in
+                      (rec.poses[n] for n in names)])
+    C_gt = np.array([-(R.T @ t) for R, t in cams])
+    s, Rs, ts = _align_similarity(C_est, C_gt)
+    err = np.linalg.norm((C_est @ (s * Rs).T + ts) - C_gt, axis=-1)
+    assert err.max() < 0.08, err.max()
+
+    # multi-view triangulation: points carry all-view tracks, and the
+    # structure matches GT
+    est, gt = [], []
+    for pi, tr in enumerate(rec.track_obs):
+        nm, ki = tr[0]
+        est.append(rec.xyz[pi])
+        gt.append(pts[vis[nm][ki]])
+    est, gt = np.array(est), np.array(gt)
+    s, Rs, ts = _align_similarity(est, gt)
+    err = np.linalg.norm(est @ (s * Rs).T + ts - gt, axis=-1)
+    assert np.median(err) < 0.02, np.median(err)
+
+
 def test_text_model_written(scene, tmp_path):
     names, cams, pts, rec = scene
     rec.write_text(str(tmp_path))

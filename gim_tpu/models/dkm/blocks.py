@@ -413,21 +413,39 @@ class ConvRefiner(nn.Module):
                         name=f"{name}_conv2")
         return conv2(nn.relu(bn(conv1(x))))
 
-    def _fuse_hidden_blocks(self) -> bool:
+    def _fuse_hidden_blocks(self, H: int, W: int) -> bool:
         """Fused single-pass Pallas blocks for the narrow-channel scales:
         NHWC convs at C<=192 waste most of the 128-lane tile (see
         ops/pallas_kernels/refiner.py). Inference only (BN running
-        stats); pure-depthwise hidden blocks only."""
+        stats); pure-depthwise hidden blocks only. Shape-gated: the
+        kernel's scoped-VMEM need (dominated by the K*K unrolled slice
+        temps — measured, not assumed; see refiner.vmem_estimate) must
+        fit the chip budget (GIM_TPU_REFINER_VMEM_BUDGET_MB, default 100
+        for v5e-class 128M VMEM) or the XLA path is used."""
         import os
 
         from gim_tpu.ops.pallas_kernels.dsmax import _interpret
+        from gim_tpu.ops.pallas_kernels.refiner import vmem_estimate
 
-        flag = os.environ.get("GIM_TPU_FUSED_REFINER", "1")
+        # Default OFF: measured on a real v5e (round 4, /tmp/repro2.py
+        # methodology in docs/PERF.md) the fused kernel LOSES to XLA's
+        # conv path at both target shapes — C=144 336^2: 5.9 vs 3.6
+        # ms/block; C=24 1344^2: 9.8 vs 9.4. Kept behind the flag for
+        # future kernel work; parity tests exercise it in force mode.
+        flag = os.environ.get("GIM_TPU_FUSED_REFINER", "0")
         # off-TPU the kernel would run interpreted (orders of magnitude
         # slower than XLA CPU convs) — require the compiled path unless
         # explicitly forced (tests force it on small shapes)
-        return (self.dw and not self.train and self.hidden_dim <= 192
-                and (flag == "force" or (flag == "1" and not _interpret())))
+        if not (self.dw and not self.train and self.hidden_dim <= 192
+                and (flag == "force"
+                     or (flag == "1" and not _interpret()))):
+            return False
+        budget = int(os.environ.get("GIM_TPU_REFINER_VMEM_BUDGET_MB",
+                                    "100")) * 1024 * 1024
+        bh = 16 if self.hidden_dim <= 64 else 8
+        need = vmem_estimate(self.hidden_dim, self.hidden_dim, H, W,
+                             self.kernel_size, bh, 2)
+        return int(1.25 * need) <= budget
 
     def _block_fused_chan(self, xc, out_dim, name):
         """The same block math on channel-leading (B, C, H, W) input via
@@ -498,7 +516,7 @@ class ConvRefiner(nn.Module):
         parts = [p.astype(self.dtype) for p in parts]
         d = jnp.concatenate(parts, axis=-1)
         d = self.block(d, self.hidden_dim, "block1")
-        if self._fuse_hidden_blocks():
+        if self._fuse_hidden_blocks(H, W):
             # one layout change around the whole chain, not per block
             dc = jnp.transpose(d, (0, 3, 1, 2))
             for i in range(self.hidden_blocks):

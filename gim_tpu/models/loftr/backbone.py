@@ -105,13 +105,45 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return M
 
 
+def _interp_taps(n_in: int, n_out: int):
+    """align_corners=True positions as 2-tap (lo, hi, w) arrays."""
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    lo = np.floor(pos).astype(np.int32)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (pos - lo).astype(np.float32)
+    return lo, hi, w
+
+
 def _upsample2x_align_corners(x):
     """Bilinear 2x with align_corners=True (torch F.interpolate parity).
 
-    Implemented as two small dense matmuls (interpolation operators along
-    H then W) — index-gather versions lower to scalar dynamic-slices on
-    TPU and are catastrophically slow; matmuls ride the MXU."""
+    Two implementations, identical numerics:
+    - matmul: two dense interpolation-operator einsums. Always correct on
+      TPU, but burns 2H*H*W*C MACs per axis in what is really a 2-tap
+      blend (~55 GFLOP/pair @832, ~390 @1600 across the two FPN
+      upsamples).
+    - gather (default on TPU): 2 static row-gathers per axis + VPU blend.
+      Gathers are on the MAJOR (row) axis of (B, H, W*C) — the
+      known-good take_along_axis regime (docs/PERF.md round 2), NOT the
+      scalar-dynamic-slice minor-dim pathology. The W axis is done by
+      transposing H<->W first so both interps gather rows.
+    Select with GIM_TPU_GATHER_UPSAMPLE=0/1 (A/B'd on chip, round 4)."""
+    import os
+
     B, H, W, C = x.shape
+    if os.environ.get("GIM_TPU_GATHER_UPSAMPLE", "0") == "1":
+        def interp_rows(t):                      # (B, N, M, C) -> 2N on axis 1
+            n = t.shape[1]
+            lo, hi, w = _interp_taps(n, 2 * n)
+            xa = jnp.take(t, jnp.asarray(lo), axis=1)
+            xb = jnp.take(t, jnp.asarray(hi), axis=1)
+            wv = jnp.asarray(w, t.dtype)[None, :, None, None]
+            return xa + (xb - xa) * wv
+
+        x = interp_rows(x)
+        x = jnp.transpose(interp_rows(jnp.transpose(x, (0, 2, 1, 3))),
+                          (0, 2, 1, 3))
+        return x
     Mh = jnp.asarray(_interp_matrix(H, 2 * H), x.dtype)
     Mw = jnp.asarray(_interp_matrix(W, 2 * W), x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", Mh, x)

@@ -165,3 +165,32 @@ def test_loftr_fused_matching_matches_dense():
     np.testing.assert_allclose(np.asarray(out_f["mconf"][0])[vf].sum(),
                                np.asarray(out_d["mconf"][0])[vd].sum(),
                                rtol=1e-4)
+
+
+def test_upsample2x_align_corners_both_paths_match_torch():
+    """FPN 2x upsample: the gather (default) and matmul implementations
+    must both reproduce torch F.interpolate(align_corners=True) exactly
+    (they are the same 2-tap blend; see backbone._upsample2x_align_corners
+    — the gather path avoids ~55 GFLOP/pair of interpolation matmuls)."""
+    import os
+
+    import torch
+    import torch.nn.functional as F
+
+    from gim_tpu.models.loftr import backbone as BB
+
+    x = np.random.default_rng(0).random((2, 13, 9, 5)).astype(np.float32)
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+    ref = F.interpolate(t, scale_factor=2.0, mode="bilinear",
+                        align_corners=True).numpy().transpose(0, 2, 3, 1)
+    old = os.environ.get("GIM_TPU_GATHER_UPSAMPLE")
+    try:
+        for flag in ("0", "1"):
+            os.environ["GIM_TPU_GATHER_UPSAMPLE"] = flag
+            out = np.asarray(BB._upsample2x_align_corners(jnp.asarray(x)))
+            np.testing.assert_allclose(out, ref, atol=1e-6), flag
+    finally:
+        if old is None:
+            os.environ.pop("GIM_TPU_GATHER_UPSAMPLE", None)
+        else:
+            os.environ["GIM_TPU_GATHER_UPSAMPLE"] = old

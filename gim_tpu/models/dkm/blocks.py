@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import flax.linen as nn
 import jax
@@ -198,7 +199,50 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     # slice_sizes=(1, 1, Kp*C) lowers ~9x SLOWER end to end (6.4 vs 0.72
     # s/pair DKM full-res) — XLA serializes per start. Per-corner
     # take_along_axis row gathers in small lax.map chunks remain the
-    # fastest known form on this hardware.
+    # fastest known form on this hardware, except the packed-row form
+    # below (same row-count reduction as the wide slice, but expressed as
+    # take_along_axis over a shift-packed channel layout so it keeps the
+    # fast gather lowering).
+    if os.environ.get("GIM_TPU_PACKED_CORR_ROWS", "0") == "1":
+        # ONE gather row per (pixel, dy): the Kp window corners of a row
+        # are contiguous (Kp*C) in row-major yflat, so pre-pack Kp
+        # shifted copies of yflat on the channel axis (pack[i] =
+        # ypadf[i..i+Kp-1] rows) and gather at the window's row base.
+        # Kp x fewer gather rows for identical gathered bytes; the pack
+        # build is Kp contiguous slice copies (full-bandwidth HBM).
+        ii_all = iy0[..., None] + jnp.arange(-r, r + 2)        # (B,H,W,Kp)
+        jj_all = ix0[..., None] + jnp.arange(-r, r + 2)
+        vy = (ii_all >= 0) & (ii_all < H)
+        vx = (jj_all >= 0) & (jj_all < W)
+        valid = vy[..., :, None] & vx[..., None, :]            # (B,H,W,Kp,Kp)
+        b_c = jnp.clip(ix0 - r, -Kp, W - 1)
+        ypadf = jnp.pad(y.reshape(B, H * W, C),
+                        ((0, 0), (Kp, Kp), (0, 0)))
+        pack = jnp.concatenate(
+            [ypadf[:, j:j + H * W + Kp, :] for j in range(Kp)], axis=-1)
+
+        dys = jnp.arange(-r, r + 2)
+        cdy = max(1, min(Kp, chunk // Kp)) if chunk else 1
+        ndy = -(-Kp // cdy)
+        dys = jnp.pad(dys, (0, ndy * cdy - Kp)).reshape(ndy, cdy)
+
+        def one_dy_chunk(dy):                                  # (cdy,) int
+            row = jnp.clip(iy0[..., None] + dy[None, None, None, :],
+                           0, H - 1)                           # (B,H,W,cdy)
+            base = row * W + b_c[..., None]
+            base = jnp.clip(base, -Kp, H * W - 1) + Kp
+            v = jnp.take_along_axis(
+                pack.reshape(B, H * W + Kp, Kp * C),
+                base.reshape(B, -1)[..., None], axis=1
+            ).reshape(B, H, W, -1, Kp, C)                      # (B,H,W,cdy,Kp,C)
+            return jnp.einsum("bhwc,bhwdjc->bhwdj", x, v) * scale
+
+        ic = jax.lax.map(one_dy_chunk, dys)                    # (ndy,B,H,W,cdy,Kp)
+        ic = jnp.moveaxis(ic, 0, -3).reshape(B, H, W, ndy * cdy, Kp)
+        ic = ic[..., :Kp, :]
+        ic = jnp.where(valid, ic, jnp.zeros((), ic.dtype))
+        ic = ic.reshape(B, H, W, Kp * Kp)
+        return _blend_corners(ic, fx, fy, K)
     nc = -(-(Kp * Kp) // chunk)
     pad = nc * chunk - Kp * Kp
     offs = jnp.pad(doffs, ((0, pad), (0, 0))).reshape(nc, chunk, 2)
@@ -221,11 +265,17 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
 
     ic = jax.lax.map(one_chunk, offs)                    # (nc, B, H, W, k)
     ic = jnp.moveaxis(ic, 0, -2).reshape(B, H, W, nc * chunk)[..., :Kp * Kp]
+    return _blend_corners(ic, fx, fy, K)
 
-    # blend the 4 corner maps per output offset as constant 0/1 selection
-    # matmuls on the FLAT (.., Kp^2) layout — a (.., Kp, Kp) view would put
-    # a <=16-wide dim on the 128-lane axis (measured 1.7x slower end to
-    # end on DKM full-res)
+
+def _blend_corners(ic: jax.Array, fx: jax.Array, fy: jax.Array,
+                   K: int) -> jax.Array:
+    """Bilinear-blend the (.., (K+1)^2) integer-corner correlation maps
+    into the (.., K^2) window correlations.
+
+    Blends on the FLAT (.., Kp^2) layout via constant 0/1 selection
+    matmuls — a (.., Kp, Kp) view would put a <=16-wide dim on the
+    128-lane axis (measured 1.7x slower end to end on DKM full-res)."""
     sel = _corner_selectors(K)
     fx = fx.astype(ic.dtype)
     fy = fy.astype(ic.dtype)
@@ -237,9 +287,8 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
                           jnp.asarray(sel[c], ic.dtype),
                           precision=jax.lax.Precision.HIGHEST)
 
-    corr = ((1 - fy) * (1 - fx)) * pick(0) + ((1 - fy) * fx) * pick(1) \
+    return ((1 - fy) * (1 - fx)) * pick(0) + ((1 - fy) * fx) * pick(1) \
         + (fy * (1 - fx)) * pick(2) + (fy * fx) * pick(3)
-    return corr
 
 
 def kde_density(x: jax.Array, std: float = 0.1, chunk: int = 4096) -> jax.Array:

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -50,6 +51,31 @@ def test_local_correlation_matches_reference():
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
             jnp.transpose(jnp.asarray(y), (0, 2, 3, 1)), 2,
             flow=jnp.transpose(jnp.asarray(flow), (0, 2, 3, 1)), chunk=7)
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("chunk", [None, 13, 5])
+def test_local_correlation_packed_rows_matches_reference(chunk, monkeypatch):
+    """GIM_TPU_PACKED_CORR_ROWS=1 (one gather row per (pixel, dy) via the
+    shift-packed channel layout) must match the torch reference exactly,
+    including windows clipped at every border and fully out-of-bounds flow.
+    chunk values force cdy in {Kp, 2, 1} to cover the lax.map padding."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 9, 7, 8)).astype(np.float32)   # NCHW
+    y = rng.standard_normal((2, 9, 7, 8)).astype(np.float32)
+    flow = (rng.random((2, 2, 7, 8)).astype(np.float32) * 2.4 - 1.2)
+    flow[0, :, 0, 0] = -3.0                                    # far OOB
+    flow[1, :, -1, -1] = 3.0
+    ref = _torch_local_correlation(torch.from_numpy(x), torch.from_numpy(y),
+                                   2, torch.from_numpy(flow)).numpy()
+    monkeypatch.setenv("GIM_TPU_PACKED_CORR_ROWS", "1")
+    kw = {} if chunk is None else {"chunk": chunk * 6}
+    with HIGH:
+        ours = B.local_correlation(
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+            jnp.transpose(jnp.asarray(y), (0, 2, 3, 1)), 2,
+            flow=jnp.transpose(jnp.asarray(flow), (0, 2, 3, 1)), **kw)
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 

@@ -76,7 +76,12 @@ class DKMDecoder(nn.Module):
                     name=f"dfn_{s}")(new_stuff, f1_s, old_stuff)
             if s in REFINER_SPECS and (ins <= 16):
                 in_dim, hid, emb, rad = REFINER_SPECS[s]
-                delta_cert, disp = ConvRefiner(
+                # train: rematerialize the refiner in backward — its 8
+                # hidden-block activations at scales 4/2/1 are the peak
+                # HBM term (672px bs1 OOMs a 16G v5e without this;
+                # jax.checkpoint trades ~1 extra forward for the win)
+                Refiner = nn.remat(ConvRefiner) if self.train else ConvRefiner
+                delta_cert, disp = Refiner(
                     in_dim, hid, displacement_emb_dim=emb,
                     local_corr_radius=rad, train=self.train, dtype=c.dtype,
                     name=f"refiner_{s}")(f1_s, f2_s, dense_flow)

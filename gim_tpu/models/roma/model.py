@@ -165,7 +165,10 @@ class RoMaDecoder(nn.Module):
                 out[ins] = {}
 
             in_dim, hid, emb, rad = ROMA_REFINER_SPECS[s]
-            delta_cert, disp = ConvRefiner(
+            # train-time remat: see dkm/model.py — refiner hiddens are the
+            # peak-memory term at full train resolution
+            Refiner = nn.remat(ConvRefiner) if self.train else ConvRefiner
+            delta_cert, disp = Refiner(
                 in_dim, hid, displacement_emb_dim=emb,
                 local_corr_radius=rad, train=self.train, disp_first=True,
                 dtype=c.dtype, name=f"refiner_{s}")(

@@ -131,6 +131,10 @@ def main(argv=None):
         out_dir = join(args.work_dir, "dump", tag)
         argv = ["--weight", args.weight, "--synthetic", "--version", tag,
                 "--synthetic_pairs", str(args.eval_pairs),
+                # GL3D's reference per-sequence cap is 13 (ref
+                # datasets/gl3d/__init__.py:51) — lift it so eval_pairs
+                # actually widens the AUC base (VERDICT r3 weak #6)
+                "--max_samples", str(args.eval_pairs),
                 "--out_dir", out_dir, "--overwrite"]
         if args.eval_img_size:
             argv += ["--img_size", str(args.eval_img_size)]

@@ -141,7 +141,9 @@ def main(argv=None):
     variables = init(jax.random.PRNGKey(cfg.trainer.seed))
     tx = make_optimizer(cfg.trainer, n_dev, args.batch_size,
                         steps_per_epoch=max(len(ds), 1))
-    opt_target = (variables["lightglue"] if args.weight == "gim_lightglue"
+    # lightglue optimizes the FULL variables (SuperPoint bootstraps jointly
+    # from scratch — train/lightglue_loop.py module docstring)
+    opt_target = (variables if args.weight == "gim_lightglue"
                   else variables["params"])
     opt_state = tx.init(opt_target)
 

@@ -203,7 +203,9 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     # below (same row-count reduction as the wide slice, but expressed as
     # take_along_axis over a shift-packed channel layout so it keeps the
     # fast gather lowering).
-    if os.environ.get("GIM_TPU_PACKED_CORR_ROWS", "0") == "1":
+    # Default ON (measured round 4, v5e, full model @ true eval shapes:
+    # DKM 600.0 -> 547.3 ms/pair, RoMa 870.4 -> 847.5 — docs/PERF.md).
+    if os.environ.get("GIM_TPU_PACKED_CORR_ROWS", "1") == "1":
         # ONE gather row per (pixel, dy): the Kp window corners of a row
         # are contiguous (Kp*C) in row-major yflat, so pre-pack Kp
         # shifted copies of yflat on the channel axis (pack[i] =

@@ -30,7 +30,7 @@ class SuperPointNet(nn.Module):
     descriptor_dim: int = 256
 
     @nn.compact
-    def __call__(self, image_nhwc: jax.Array):
+    def __call__(self, image_nhwc: jax.Array, return_logits: bool = False):
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
         x = image_nhwc
         conv = lambda c, k, name: nn.Conv(c, (k, k), padding="SAME", name=name)
@@ -61,6 +61,10 @@ class SuperPointNet(nn.Module):
         desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(cda)
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        if return_logits:
+            # training path: the 65-way cell logits (incl. dustbin) feed the
+            # detector CE loss (train/lightglue_loop.py)
+            return scores, desc, logits
         return scores, desc
 
 

@@ -102,12 +102,14 @@ def test_lightglue_gt_assignment_and_step():
         "label_valid": jnp.ones((1, 32), bool),
     }
     tx = optax.adam(1e-4)
-    opt_state = tx.init(variables["lightglue"])
-    l0, _ = lightglue_loss(cfg, variables, batch)
+    opt_state = tx.init(variables)
+    l0, parts = lightglue_loss(cfg, variables, batch)
     variables, opt_state, logs = lightglue_train_step(cfg, tx, variables,
                                                       opt_state, batch)
     l1 = logs["loss"]
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    for k in ("nll", "det", "desc"):
+        assert np.isfinite(float(parts[k])), k
 
 
 def test_lr_schedule_reference_rules():
@@ -125,3 +127,47 @@ def test_lr_schedule_reference_rules():
     assert lr0 < lr_end_warmup
     # decay at the first milestone (3 epochs)
     assert float(sched(3 * 10000 + 1)) < lr_end_warmup
+
+
+def test_superpoint_detection_loss_targets_label_cells():
+    from gim_tpu.train.lightglue_loop import superpoint_detection_loss
+
+    hc = wc = 4
+    # one labeled point at pixel (x=10, y=19) -> cell (row 2, col 1),
+    # class (19%8)*8 + (10%8) = 3*8+2 = 26
+    pts = jnp.array([[[10.0, 19.0]]])
+    pv = jnp.ones((1, 1), bool)
+    good = jnp.full((1, hc, wc, 65), 0.0).at[..., 64].set(8.0)
+    good = good.at[0, 2, 1, 64].set(0.0).at[0, 2, 1, 26].set(8.0)
+    bad = jnp.full((1, hc, wc, 65), 0.0).at[..., 64].set(8.0)  # all dustbin
+    lg_ = float(superpoint_detection_loss(good, pts, pv))
+    lb = float(superpoint_detection_loss(bad, pts, pv))
+    assert lg_ < lb
+    assert lg_ < 0.05
+    # invalid point: everything-dustbin becomes optimal
+    l_inv = float(superpoint_detection_loss(bad, pts, jnp.zeros((1, 1), bool)))
+    assert l_inv < 0.05
+
+
+def test_superpoint_descriptor_loss_separates_matches():
+    from gim_tpu.train.lightglue_loop import superpoint_descriptor_loss
+
+    rng = np.random.default_rng(0)
+    D, Hc, Wc = 16, 8, 8
+    base = rng.normal(size=(1, Hc, Wc, D)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    # identical maps + identical endpoints -> positives are perfect matches
+    labels = np.zeros((1, 6, 4), np.float32)
+    xy = np.array([[12, 12], [44, 12], [12, 44], [44, 44], [28, 28], [52, 52]],
+                  np.float32)
+    labels[0, :, :2] = xy
+    labels[0, :, 2:] = xy
+    lv = np.ones((1, 6), bool)
+    l_good = float(superpoint_descriptor_loss(
+        jnp.asarray(base), jnp.asarray(base), jnp.asarray(labels),
+        jnp.asarray(lv), n_max=6))
+    shuf = base[:, ::-1, ::-1]  # desc1 no longer corresponds
+    l_bad = float(superpoint_descriptor_loss(
+        jnp.asarray(base), jnp.asarray(shuf), jnp.asarray(labels),
+        jnp.asarray(lv), n_max=6))
+    assert l_good < l_bad

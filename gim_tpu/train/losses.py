@@ -139,8 +139,11 @@ def fine_l2_std_loss(expec_f: jax.Array, expec_f_gt: jax.Array,
 def lightglue_nll_loss(log_assignment: jax.Array, gt_matches0: jax.Array,
                        valid0: jax.Array, valid1: jax.Array) -> jax.Array:
     """Negative log-likelihood of the GT assignment (LightGlue training,
-    ref matchers/lightglue.py:580-629 scaffold): positives use their cell,
-    unmatched keypoints their dustbin.
+    ref matchers/lightglue.py:580-629 scaffold; the referenced NLLLoss is
+    the glue-factory one, which BALANCES positives and negatives:
+    nll = (mean over matched rows + mean over dustbin rows) / 2).
+    Unbalanced averaging lets the ~100%-dustbin early phase of
+    from-scratch training drown the positive signal once matches appear.
 
     log_assignment: (B, L+1, S+1); gt_matches0: (B, L) partner index or -1.
     """
@@ -150,5 +153,8 @@ def lightglue_nll_loss(log_assignment: jax.Array, gt_matches0: jax.Array,
     idx = jnp.where(matched, gt_matches0, S)  # unmatched -> dustbin column
     rows = jnp.take_along_axis(log_assignment[:, :L, :], idx[..., None],
                                axis=2)[..., 0]
-    w = valid0.astype(jnp.float32)
-    return -jnp.sum(rows * w) / jnp.maximum(jnp.sum(w), 1.0)
+    w_pos = matched.astype(jnp.float32)
+    w_neg = (valid0 & ~matched).astype(jnp.float32)
+    nll_pos = -jnp.sum(rows * w_pos) / jnp.maximum(jnp.sum(w_pos), 1.0)
+    nll_neg = -jnp.sum(rows * w_neg) / jnp.maximum(jnp.sum(w_neg), 1.0)
+    return 0.5 * (nll_pos + nll_neg)

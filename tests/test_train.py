@@ -6,6 +6,7 @@ import numpy as np
 
 from gim_tpu.config import GimConfig, LightGlueConfig, LoFTRConfig
 from gim_tpu.train import losses as L
+from gim_tpu.train import losses as L_mod
 
 
 def test_coarse_focal_loss_prefers_correct_confidence():
@@ -171,3 +172,19 @@ def test_superpoint_descriptor_loss_separates_matches():
         jnp.asarray(base), jnp.asarray(shuf), jnp.asarray(labels),
         jnp.asarray(lv), n_max=6))
     assert l_good < l_bad
+
+
+def test_lightglue_nll_balances_positive_and_dustbin_rows():
+    """With 1 matched + 99 unmatched rows, the positive's term must carry
+    50% of the loss (glue-factory NLLLoss balance), not 1%."""
+    L = S = 100
+    la = jnp.full((1, L + 1, S + 1), jnp.log(1.0 / (S + 1)))
+    gt = jnp.full((1, L), -1, jnp.int32).at[0, 0].set(0)
+    v = jnp.ones((1, L), bool)
+    l_uniform = float(L_mod.lightglue_nll_loss(la, gt, v, v))
+    # perfect dustbin rows, but the positive row still uniform: loss must
+    # stay ~0.5 * -log(1/(S+1)) — the positive half un-drowned
+    good_dust = jnp.full((1, L + 1, S + 1), -20.0).at[:, :, S].set(-1e-3)
+    l_dust = float(L_mod.lightglue_nll_loss(good_dust, gt, v, v))
+    assert abs(l_dust - 0.5 * (1e-3 + 20.0)) < 0.2
+    assert l_uniform > 0

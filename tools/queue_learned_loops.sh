@@ -6,11 +6,18 @@ set -u
 cd /root/repo
 mkdir -p docs/artifacts
 
-WORK=/tmp/gim_loop_shared   # video + factory stores are head-agnostic;
-                            # ckpt dirs are per-head inside (ckpt_<head>)
+WORK=/root/repo/.loopwork   # PERSISTENT (survives session restarts):
+                            # video + factory stores are head-agnostic;
+                            # ckpt dirs are per-head inside (ckpt_<head>);
+                            # train resumes from the latest orbax step.
 
 run() {
   local head=$1; shift
+  if [ -f "docs/artifacts/learned_loop_${head#gim_}.json" ]; then
+    echo "[queue] $(date +%T) $head already done, skipping" \
+      | tee -a /tmp/loop_queue.log
+    return
+  fi
   echo "[queue] $(date +%T) starting $head" | tee -a /tmp/loop_queue.log
   timeout 7200 python -m tools.learned_loop \
       --work_dir "$WORK" --weight "$head" "$@" \

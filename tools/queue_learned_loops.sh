@@ -29,6 +29,8 @@ run() {
   fi
 }
 
-run gim_dkm --batch_size 2 --max_steps 2000 --eval_pairs 64
+# dkm at bs2/640px OOMs on a 16G v5e (24.2G HLO temps: the 2B symmetric
+# scale-1/2 ConvRefiner activations under grad); bs1 fits (~12G).
+run gim_dkm --batch_size 1 --max_steps 2000 --eval_pairs 64
 run gim_lightglue --batch_size 2 --max_steps 4000 --eval_pairs 64
 echo "[queue] ALL DONE" | tee -a /tmp/loop_queue.log

@@ -53,6 +53,14 @@ def main(argv=None):
                    choices=["dark", "mobile", "none"],
                    help="photometric augmentation (ref WALK train uses "
                         "'dark', datasets/walk/__init__.py:32)")
+    p.add_argument("--on_nonfinite", default="abort",
+                   choices=["abort", "skip"],
+                   help="divergence guard (SURVEY §5 failure detection): "
+                        "every step's loss is checked; 'abort' raises on "
+                        "the first non-finite loss, 'skip' reverts the "
+                        "update and skips the batch (aborts after "
+                        "--max_nonfinite consecutive skips)")
+    p.add_argument("--max_nonfinite", type=int, default=5)
     args = p.parse_args(argv)
 
     import jax
@@ -127,7 +135,11 @@ def main(argv=None):
                                   else t.scheduler_milestones))
         cfg = replace(cfg, trainer=t)
 
-    cache = FrameCache(args.video, os.path.join(args.labels_root, "_frames"))
+    # cache BESIDE the store, not inside it (ADVICE r4: a cleanup that
+    # re-lists the propagate dir must not trip over / wipe the frame cache)
+    cache_dir = os.path.normpath(
+        os.path.join(args.labels_root, os.pardir, "_frames"))
+    cache = FrameCache(args.video, cache_dir)
     ds = WalkDataset(cache.frame, args.labels_root, args.img_size,
                      args.max_labels,
                      augmentation=(None if args.augmentation == "none"
@@ -220,11 +232,36 @@ def main(argv=None):
         return bq.get() if producers else make_batch(ds, main_rng)
 
     t0 = time.time()
+    nonfinite_streak = 0
     with mesh:
         for step in range(start, args.max_steps):
             batch = jax.device_put(next_batch(), data_sh)
+            prev = (variables, opt_state)
             variables, opt_state, logs = step_fn(
                 cfg, tx, variables, opt_state, batch)
+            # Divergence guard: a scalar fetch per step is ~free (the loop
+            # is host-input-bound) and stops a NaN run at step 1 instead of
+            # hours later (round-4 lightglue arm burned 280+ NaN steps).
+            loss_val = float(logs["loss"])
+            if not np.isfinite(loss_val):
+                nonfinite_streak += 1
+                detail = " ".join(f"{k}={float(v):.4g}"
+                                  for k, v in sorted(logs.items()))
+                msg = (f"[train] NON-FINITE loss at step {step + 1}: "
+                       f"{detail}")
+                if (args.on_nonfinite == "abort"
+                        or nonfinite_streak > args.max_nonfinite):
+                    stop_flag.set()
+                    raise SystemExit(
+                        msg + " — aborting (run tools/debug_lightglue_nan.py"
+                        " or the head's repro to find the first non-finite"
+                        " grad leaf)")
+                print(msg + f" — reverting update and skipping batch "
+                      f"({nonfinite_streak}/{args.max_nonfinite})",
+                      flush=True)
+                variables, opt_state = prev
+                continue
+            nonfinite_streak = 0
             if (step + 1) % args.log_interval == 0:
                 dt = time.time() - t0
                 extra = " ".join(f"{k} {float(v):.4f}"

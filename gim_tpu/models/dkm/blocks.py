@@ -147,7 +147,8 @@ def _corner_selectors(K: int):
 def local_correlation(x: jax.Array, y: jax.Array, radius: int,
                       flow: jax.Array | None = None,
                       chunk: int | None = None,
-                      mem_budget_bytes: int = 300_000_000) -> jax.Array:
+                      mem_budget_bytes: int = 300_000_000,
+                      packed_rows: bool | None = None) -> jax.Array:
     """(2r+1)^2 window correlation (ref local_correlation.py:5-41).
 
     x, y: (B, H, W, C); flow: (B, H, W, 2) normalized sample centers in y
@@ -203,9 +204,16 @@ def local_correlation(x: jax.Array, y: jax.Array, radius: int,
     # below (same row-count reduction as the wide slice, but expressed as
     # take_along_axis over a shift-packed channel layout so it keeps the
     # fast gather lowering).
-    # Default ON (measured round 4, v5e, full model @ true eval shapes:
-    # DKM 600.0 -> 547.3 ms/pair, RoMa 870.4 -> 847.5 — docs/PERF.md).
-    if os.environ.get("GIM_TPU_PACKED_CORR_ROWS", "1") == "1":
+    # Default ON for inference (measured round 4, v5e, full model @ true
+    # eval shapes: DKM 600.0 -> 547.3 ms/pair, RoMa 870.4 -> 847.5 —
+    # docs/PERF.md). OFF under differentiation: the Kp-wide channel-packed
+    # temps balloon the train-step HBM peak (round-4 learned-loop OOM at
+    # 640px bs1: 600M+ padded HLO temps per refiner hidden block,
+    # /tmp/loop_gim_dkm.log) — callers on a grad path (ConvRefiner with
+    # train=True) pass packed_rows=False explicitly.
+    if packed_rows is None:
+        packed_rows = os.environ.get("GIM_TPU_PACKED_CORR_ROWS", "1") == "1"
+    if packed_rows:
         # ONE gather row per (pixel, dy): the Kp window corners of a row
         # are contiguous (Kp*C) in row-major yflat, so pre-pack Kp
         # shifted copies of yflat on the channel axis (pack[i] =
@@ -328,9 +336,14 @@ class CosKernel:
 
     @highp
     def __call__(self, x, y, eps=1e-6):
+        # norms via sqrt(sumsq + tiny): jnp.linalg.norm's VJP is NaN at an
+        # exact-zero feature vector (see ops/sampling.safe_l2_normalize);
+        # forward matches the reference's (|x||y| + eps) denominator to
+        # ~1e-24 absolute under the sqrt
+        nx = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1) + 1e-24)
+        ny = jnp.sqrt(jnp.sum(jnp.square(y), axis=-1) + 1e-24)
         c = jnp.einsum("bnd,bmd->bnm", x, y) / (
-            jnp.linalg.norm(x, axis=-1)[..., None]
-            * jnp.linalg.norm(y, axis=-1)[:, None] + eps)
+            nx[..., None] * ny[:, None] + eps)
         return jnp.exp((c - 1.0) / self.T)
 
 
@@ -555,12 +568,16 @@ class ConvRefiner(nn.Module):
                           name="disp_emb")(emb_scale * disp)
             parts = [x, x_hat, emb]
             if self.local_corr_radius:
+                # packed_rows=False on the train path: the packed layout's
+                # gradient blows the HBM peak (see local_correlation note)
+                pk = False if self.train else None
                 if self.corr_in_other:
                     corr = local_correlation(x, y, self.local_corr_radius,
-                                             flow=flow)
+                                             flow=flow, packed_rows=pk)
                 else:
                     corr = local_correlation(x, x_hat,
-                                             self.local_corr_radius)
+                                             self.local_corr_radius,
+                                             packed_rows=pk)
                 parts = [x, x_hat, emb, corr]
         if self.concat_logits:
             parts.append(logits)

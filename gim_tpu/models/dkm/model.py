@@ -74,7 +74,7 @@ class DKMDecoder(nn.Module):
                 dense_flow, dense_certainty, old_stuff = DFNScale(
                     c.feat_dim, c.dfn_dim, self.train, c.dtype,
                     name=f"dfn_{s}")(new_stuff, f1_s, old_stuff)
-            if s in REFINER_SPECS and (ins <= 16):
+            if s in REFINER_SPECS and (ins <= 16) and s in c.refiner_scales:
                 in_dim, hid, emb, rad = REFINER_SPECS[s]
                 # train: rematerialize the refiner in backward — its 8
                 # hidden-block activations at scales 4/2/1 are the peak

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from gim_tpu.config import SuperPointConfig
 from gim_tpu.ops.detect import remove_borders, simple_nms, topk_keypoints
-from gim_tpu.ops.sampling import sample_descriptors
+from gim_tpu.ops.sampling import safe_l2_normalize, sample_descriptors
 
 
 class SuperPointNet(nn.Module):
@@ -59,8 +59,10 @@ class SuperPointNet(nn.Module):
         # descriptor head
         cda = nn.relu(conv(c5, 3, "convDa")(x))
         desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(cda)
-        desc = desc / jnp.maximum(
-            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        # safe normalize: a ReLU-dead cda position + zero-init convDb bias
+        # makes desc an EXACT zero vector, whose ||x||-divide VJP is NaN —
+        # this was the round-4 joint-train NaN (see ops/sampling.py)
+        desc = safe_l2_normalize(desc, axis=-1)
         if return_logits:
             # training path: the 65-way cell logits (incl. dustbin) feed the
             # detector CE loss (train/lightglue_loop.py)

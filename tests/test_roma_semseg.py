@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gim_tpu.config import RoMaConfig
 
@@ -34,6 +35,7 @@ def test_dinov2_tiny_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_roma_tiny_forward():
     from gim_tpu.models.roma import model as R
 

@@ -7,8 +7,10 @@ import os
 from os.path import join
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_sweep_runs_subset_checks_and_analyzes(tmp_path, capsys):
     from gim_tpu.cli import sweep
     from gim_tpu.data.synthetic import write_synthetic_benchmark

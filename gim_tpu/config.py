@@ -98,6 +98,13 @@ class DKMConfig:
     # True = reproduce that protocol (resample only the valid canvas
     # region); False = demo-style aspect-pad (ref demo.py:420-428).
     distort_aspect: bool = True
+    # Replicate the reference GP's n>2000 batched-inverse bug in EVAL
+    # graphs (ref dkm.py:355-359 broadcasts batch row 0's K_yy^-1 to every
+    # row via an empty sigma_noise slice — at the 660x880 ZEB geometry the
+    # symmetric B->A half is computed with the A->B row's inverse; the
+    # published GIM-DKM numbers include this). Training always uses the
+    # correct batched solve. See models/dkm/blocks.py GP.
+    gp_inv_bug_compat: bool = True
     # Which ConvRefiner scales exist (ref DKMv3.py:52-111 builds all five).
     # The real model always uses all five; the multichip DRYRUN restricts
     # this to ("16", "1") — one with-local-corr and one without — to

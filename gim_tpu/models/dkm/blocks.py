@@ -354,6 +354,20 @@ class GP(nn.Module):
     gp_dim: int = 256
     T: float = 0.2
     sigma_noise: float = 0.1
+    # Reference BUG compatibility (ref dkm.py:355-359): for n > 2000 the
+    # reference inverts K_yy in a per-row python loop whose sigma_noise
+    # slice `sigma_noise[k:k+1]` is EMPTY for k >= 1 (sigma_noise has
+    # batch dim 1), so torch broadcasts to an empty tensor, the cat
+    # yields ONLY row 0's inverse, and the downstream matmul broadcasts
+    # row 0's K_yy^-1 to EVERY batch row. At the ZEB eval geometry
+    # (660x880 -> scale-16 n=2310) this poisons the symmetric B->A
+    # direction with the A->B row's inverse — the published GIM-DKM
+    # numbers include this behavior, so eval graphs replicate it
+    # (bug_compat=True); training uses the correct batched solve
+    # (diagnosed round 5: tools/diag_dkm_bisect.py — our correct math
+    # diverged from torch by up to 1.02 in the B->A half).
+    bug_compat: bool = False
+    bug_compat_min_n: int = 2000
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -373,10 +387,20 @@ class GP(nn.Module):
         K_xy = K(xf, yf)
         K_yy = K(yf, yf)
         n = K_yy.shape[-1]
-        A = K_yy + self.sigma_noise * jnp.eye(n)[None]
-        with jax.default_matmul_precision("highest"):
-            K_yy_inv_f = jnp.linalg.solve(A, ff)
-            mu = K_xy @ K_yy_inv_f                        # (B, HW, gp_dim)
+        if self.bug_compat and n > self.bug_compat_min_n and B > 1:
+            # replicate the reference's empty-slice loop (see class note):
+            # every row reads row 0's inverse. ff rows are identical (the
+            # position encoding of the shared grid), so solving row 0
+            # then broadcasting is exactly torch's buggy result.
+            A = K_yy[:1] + self.sigma_noise * jnp.eye(n)[None]
+            with jax.default_matmul_precision("highest"):
+                K_yy_inv_f = jnp.linalg.solve(A, ff[:1])  # (1, n, d)
+                mu = K_xy @ K_yy_inv_f                    # bcast to (B,.,d)
+        else:
+            A = K_yy + self.sigma_noise * jnp.eye(n)[None]
+            with jax.default_matmul_precision("highest"):
+                K_yy_inv_f = jnp.linalg.solve(A, ff)
+                mu = K_xy @ K_yy_inv_f                    # (B, HW, gp_dim)
         return mu.reshape(B, x.shape[1], x.shape[2], self.gp_dim)
 
 

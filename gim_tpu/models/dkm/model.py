@@ -70,7 +70,12 @@ class DKMDecoder(nn.Module):
                 f1_s, f2_s = proj(f1_s), proj(f2_s)
             if ins in (32, 16) and not upsample:
                 old_stuff = resize_nhwc(old_stuff, *sizes[ins])
-                new_stuff = GP(c.gp_dim, name=f"gp_{s}")(f1_s, f2_s)
+                # eval replicates the reference's n>2000 batched-inverse
+                # bug (GP.bug_compat note); training keeps correct math
+                new_stuff = GP(c.gp_dim,
+                               bug_compat=(c.gp_inv_bug_compat
+                                           and not self.train),
+                               name=f"gp_{s}")(f1_s, f2_s)
                 dense_flow, dense_certainty, old_stuff = DFNScale(
                     c.feat_dim, c.dfn_dim, self.train, c.dtype,
                     name=f"dfn_{s}")(new_stuff, f1_s, old_stuff)

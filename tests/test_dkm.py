@@ -122,6 +122,54 @@ def test_gp_regression_recovers_position_code():
     np.testing.assert_allclose(np.asarray(mu), np.asarray(f), atol=1e-2)
 
 
+def test_gp_bug_compat_broadcasts_row0_inverse():
+    """Reference n>2000 GP bug parity (ref dkm.py:355-359): the empty
+    sigma_noise slice makes torch.cat return ONLY batch row 0's K_yy^-1,
+    which then broadcasts to every row. bug_compat=True must reproduce
+    torch's buggy loop EXACTLY (verified here against the torch snippet at
+    a small n via bug_compat_min_n); bug_compat=False is the correct
+    batched solve and must differ for row 1."""
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 4, 5, 16))
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 5, 16))
+    gp_bug = B.GP(gp_dim=8, bug_compat=True, bug_compat_min_n=4)
+    gp_ok = B.GP(gp_dim=8, bug_compat=False)
+    with HIGH:
+        variables = gp_bug.init(rng, x, y)
+        mu_bug = gp_bug.apply(variables, x, y)
+        mu_ok = gp_ok.apply(variables, x, y)
+    # row 0 identical either way; row 1 must differ under the bug
+    np.testing.assert_allclose(np.asarray(mu_bug[0]), np.asarray(mu_ok[0]),
+                               atol=1e-6)
+    assert np.abs(np.asarray(mu_bug[1]) - np.asarray(mu_ok[1])).max() > 1e-4
+
+    # exact torch-loop oracle: K from the same kernel/features
+    import math
+    xf = np.asarray(x.reshape(2, -1, 16), dtype=np.float64)
+    yf = np.asarray(y.reshape(2, -1, 16), dtype=np.float64)
+
+    def cos_k(a, b):
+        na = np.sqrt((a ** 2).sum(-1) + 1e-24)
+        nb = np.sqrt((b ** 2).sum(-1) + 1e-24)
+        c = np.einsum("bnd,bmd->bnm", a, b) / (
+            na[..., None] * nb[:, None] + 1e-6)
+        return np.exp((c - 1.0) / 0.2)
+
+    kernel = np.asarray(variables["params"]["pos_conv"]["kernel"])[0, 0]
+    bias = np.asarray(variables["params"]["pos_conv"]["bias"])
+    pos = np.asarray(B.coords_grid(2, 4, 5))
+    f = np.cos(8 * math.pi * (pos @ kernel + bias)).reshape(2, -1, 8)
+    K_xy = cos_k(xf, yf)
+    K_yy = cos_k(yf, yf)
+    n = K_yy.shape[-1]
+    sigma = 0.1 * np.eye(n)[None]
+    # torch's loop: sigma[k:k+1] empty for k=1 -> only row 0 survives cat
+    inv0 = np.linalg.inv(K_yy[0] + sigma[0])
+    mu_oracle = K_xy @ (inv0 @ f)          # row-0 inverse broadcast
+    np.testing.assert_allclose(np.asarray(mu_bug).reshape(2, -1, 8),
+                               mu_oracle, rtol=1e-3, atol=1e-3)
+
+
 def test_kde_density_matches_torch_cdist():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((50, 4)).astype(np.float32)

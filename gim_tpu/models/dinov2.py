@@ -28,12 +28,14 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True  # DINOv2 ViTs: True; RoMa decoder blocks: False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         hd = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -46,18 +48,19 @@ class Attention(nn.Module):
         else:
             out = sdpa(q, k, v)                       # (B, H, N, hd)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
-        return nn.Dense(C, use_bias=True, name="proj")(out)
+        return nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(out)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class LayerScale(nn.Module):
@@ -68,7 +71,7 @@ class LayerScale(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma", lambda rng: jnp.full((self.dim,),
                                                          self.init_value))
-        return x * gamma
+        return x * gamma.astype(x.dtype)
 
 
 class Block(nn.Module):
@@ -77,17 +80,22 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     layerscale: bool = True
     qkv_bias: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        # LayerNorms stay f32 (stats stability); the Dense layers cast
+        # their inputs down, so the residual stream and all matmuls run
+        # at `dtype` (the reference runs frozen DINOv2 under fp16 autocast)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
-                      name="attn")(h)
+                      dtype=self.dtype, name="attn")(h)
         if self.layerscale:
             h = LayerScale(self.dim, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                dtype=self.dtype, name="mlp")(h)
         if self.layerscale:
             h = LayerScale(self.dim, name="ls2")(h)
         return x + h
@@ -101,6 +109,11 @@ class DinoViT(nn.Module):
     num_heads: int = 16
     patch_size: int = 14
     pretrain_img_size: int = 518
+    # computation dtype for the patch embed + all block matmuls (params
+    # stay f32; LayerNorms compute f32). bfloat16 halves the dominant
+    # MXU cost of the frozen encoder — parity with the reference, which
+    # also runs DINOv2 reduced-precision (ref roma.py:571-580 amp fp16)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x_nchw: jax.Array) -> jax.Array:
@@ -110,6 +123,7 @@ class DinoViT(nn.Module):
         p = self.patch_size
         x = jnp.transpose(x_nchw, (0, 2, 3, 1))
         patches = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
+                          dtype=self.dtype,
                           name="patch_embed")(x)   # (B, H/p, W/p, C)
         hp, wp = patches.shape[1:3]
         tokens = patches.reshape(B, hp * wp, self.embed_dim)
@@ -133,9 +147,10 @@ class DinoViT(nn.Module):
         tokens = tokens + jnp.concatenate([cls_pos, patch_pos], axis=1)
 
         for i in range(self.depth):
-            tokens = Block(self.embed_dim, self.num_heads,
+            tokens = Block(self.embed_dim, self.num_heads, dtype=self.dtype,
                            name=f"block_{i}")(tokens)
-        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              name="norm")(tokens)
         return tokens[:, 1:]
 
 

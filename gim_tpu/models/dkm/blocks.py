@@ -347,6 +347,24 @@ class CosKernel:
         return jnp.exp((c - 1.0) / self.T)
 
 
+def _sym_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric positive-definite A (f32).
+
+    A = K + sigma*I with K = exp((cos_sim - 1)/T): the exponential of a
+    PSD kernel is PSD (power series with non-negative coefficients), so A
+    is SPD and a Cholesky solve is valid. GIM_TPU_GP_CHOLESKY=1 uses
+    cholesky + two triangular solves (~half the factorization FLOPs of
+    the default LU `jnp.linalg.solve`, and no pivoting — pivoting is the
+    sequential part that hurts on TPU). Default from the chip A/B."""
+    if os.environ.get("GIM_TPU_GP_CHOLESKY", "0") == "1":
+        L = jnp.linalg.cholesky(A)
+        z = jax.lax.linalg.triangular_solve(
+            L, b, left_side=True, lower=True, transpose_a=False)
+        return jax.lax.linalg.triangular_solve(
+            L, z, left_side=True, lower=True, transpose_a=True)
+    return jnp.linalg.solve(A, b)
+
+
 class GP(nn.Module):
     """Cosine-kernel GP regression of fourier position embeddings
     (ref dkm.py:257-370, no_cov=True, basis='fourier')."""
@@ -394,12 +412,12 @@ class GP(nn.Module):
             # then broadcasting is exactly torch's buggy result.
             A = K_yy[:1] + self.sigma_noise * jnp.eye(n)[None]
             with jax.default_matmul_precision("highest"):
-                K_yy_inv_f = jnp.linalg.solve(A, ff[:1])  # (1, n, d)
+                K_yy_inv_f = _sym_solve(A, ff[:1])        # (1, n, d)
                 mu = K_xy @ K_yy_inv_f                    # bcast to (B,.,d)
         else:
             A = K_yy + self.sigma_noise * jnp.eye(n)[None]
             with jax.default_matmul_precision("highest"):
-                K_yy_inv_f = jnp.linalg.solve(A, ff)
+                K_yy_inv_f = _sym_solve(A, ff)
                 mu = K_xy @ K_yy_inv_f                    # (B, HW, gp_dim)
         return mu.reshape(B, x.shape[1], x.shape[2], self.gp_dim)
 

@@ -79,6 +79,7 @@ class TransformerDecoder(nn.Module):
     hidden_dim: int = 1024
     out_dim: int = 64 * 64 + 1
     num_blocks: int = 5
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, gp_posterior, features):
@@ -87,9 +88,12 @@ class TransformerDecoder(nn.Module):
         tokens = x.reshape(B, H * W, C)
         for i in range(self.num_blocks):
             tokens = Block(self.hidden_dim, 8, layerscale=False,
-                           qkv_bias=False, name=f"block_{i}")(tokens)
-        out = nn.Dense(self.out_dim, name="to_out")(tokens)
-        out = out.reshape(B, H, W, self.out_dim)
+                           qkv_bias=False, dtype=self.dtype,
+                           name=f"block_{i}")(tokens)
+        out = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(tokens)
+        # logits are geometry-bearing (argmax + neighbour softmax in
+        # cls_to_flow_refine): return f32 regardless of compute dtype
+        out = out.reshape(B, H, W, self.out_dim).astype(jnp.float32)
         return out[..., :-1], out[..., -1:]   # cls logits, certainty
 
 
@@ -157,7 +161,7 @@ class RoMaDecoder(nn.Module):
                 gp_post = GP(512, name="gp_16")(f1_s, f2_s)
                 cls_logits, certainty = TransformerDecoder(
                     c.decoder_dim, c.cls_to_coord_res ** 2 + 1,
-                    c.num_decoder_blocks,
+                    c.num_decoder_blocks, dtype=c.dtype,
                     name="coordinate_decoder")(gp_post, f1_s)
                 flow = jax.lax.stop_gradient(cls_to_flow_refine(cls_logits))
                 out[ins] = {"gm_cls": cls_logits, "gm_certainty": certainty}
@@ -198,7 +202,10 @@ class RoMaMatcher(nn.Module):
 
     def setup(self):
         self.vgg = VGG19(train=False, dtype=self.cfg.dtype, name="vgg")
-        self.dino = DinoViT(depth=self.cfg.dino_depth, name="dino")
+        # frozen encoder runs at the model compute dtype (bf16 at eval —
+        # the reference also runs DINOv2 reduced-precision, roma dino fp16)
+        self.dino = DinoViT(depth=self.cfg.dino_depth,
+                            dtype=self.cfg.dtype, name="dino")
         self.decoder = RoMaDecoder(self.cfg, self.train, name="decoder")
 
     def pyramids(self, q, s, upsample: bool):

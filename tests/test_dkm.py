@@ -170,6 +170,24 @@ def test_gp_bug_compat_broadcasts_row0_inverse():
                                mu_oracle, rtol=1e-3, atol=1e-3)
 
 
+def test_gp_cholesky_solve_matches_lu(monkeypatch):
+    """GIM_TPU_GP_CHOLESKY=1 (SPD cholesky + triangular solves) must agree
+    with the default LU `jnp.linalg.solve` path to f32 solver tolerance;
+    A = exp-cos kernel + 0.1*I is SPD by construction (blocks._sym_solve)."""
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 6, 7, 16))
+    y = jax.random.normal(jax.random.PRNGKey(8), (2, 6, 7, 16))
+    gp = B.GP(gp_dim=8)
+    with HIGH:
+        variables = gp.init(rng, x, y)
+        monkeypatch.delenv("GIM_TPU_GP_CHOLESKY", raising=False)
+        mu_lu = gp.apply(variables, x, y)
+        monkeypatch.setenv("GIM_TPU_GP_CHOLESKY", "1")
+        mu_cho = gp.apply(variables, x, y)
+    np.testing.assert_allclose(np.asarray(mu_cho), np.asarray(mu_lu),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_kde_density_matches_torch_cdist():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((50, 4)).astype(np.float32)

@@ -35,6 +35,24 @@ def test_dinov2_tiny_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_dinov2_bf16_matches_f32():
+    """dtype="bfloat16" (the eval perf config) must agree with the f32
+    graph to bf16 matmul tolerance: params stay f32, LayerNorms compute
+    f32, only the Dense/Conv matmuls run reduced-precision."""
+    from gim_tpu.models.dinov2 import DinoViT
+
+    kw = dict(embed_dim=64, depth=2, num_heads=4, patch_size=14,
+              pretrain_img_size=28)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 42))
+    f32 = DinoViT(**kw)
+    vs = jax.jit(f32.init)(jax.random.PRNGKey(0), x)
+    out32 = np.asarray(f32.apply(vs, x))
+    out16 = np.asarray(DinoViT(dtype="bfloat16", **kw).apply(vs, x))
+    assert out16.dtype == np.float32  # final norm computes/returns f32
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() < 0.05 * scale
+
+
 @pytest.mark.compileheavy  # >100s cold on the 1-core host (r5 durations run)
 def test_roma_tiny_forward():
     from gim_tpu.models.roma import model as R

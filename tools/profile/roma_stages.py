@@ -7,12 +7,19 @@ dependency chained through iterations so the tunnel doesn't hide device
 time — see bench.py):
   dino      frozen DINOv2 ViT-L/14 on the 672^2 pair batch (2B, 48^2 tokens)
   vgg_c     VGG19 pyramid at coarse res (2B, 672^2)
+  pyr_c     coarse pyramids (vgg_c + dino, fused)
   dec_c     decoder at coarse scales (16 -> 1) given cached pyramids
   vgg_f     VGG19 pyramid at upsample res (2B, 1344^2)
-  dec_f     upsample decoder refiners (s2/s1 at 1344^2)
   full      the public match path (reference total)
 
-Run: python tools/profile/roma_stages.py  (one TPU, nothing else running)
+`variables` is always passed as a jit ARGUMENT — closing over it embeds
+~450M params as HLO constants and the serial remote-compile relay dies
+with a broken pipe shipping the proto (three failed runs 2026-08-20).
+
+Run: python tools/profile/roma_stages.py [stage ...]
+(one TPU, nothing else running; default runs all stages in order — name a
+subset to survive relay timeouts, the persistent compile cache keeps
+progress across invocations)
 """
 import os
 import sys
@@ -48,15 +55,19 @@ hu, wu = c.upsample_res
 
 
 def timeit(name, fn, *args, iters=4, reps=3):
-    out = fn(*args)
+    print(f"[{name}] compiling...", flush=True)
+    t0 = time.perf_counter()
+    out = fn(variables, *args)
     jax.block_until_ready(out)
+    print(f"[{name}] compiled+first-run in {time.perf_counter() - t0:.0f}s",
+          flush=True)
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
         carry = jnp.float32(0)
         for _ in range(iters):
-            out = fn(*(a + carry * 1e-12 if i == 0 else a
-                       for i, a in enumerate(args)))
+            out = fn(variables, *(a + carry * 1e-12 if i == 0 else a
+                                  for i, a in enumerate(args)))
             leaves = jax.tree_util.tree_leaves(out)
             carry = jnp.sum(leaves[0][..., 0]).astype(jnp.float32)
         _ = float(carry)
@@ -73,43 +84,52 @@ qf = resize_nhwc(q, hu, wu)
 sf = resize_nhwc(s, hu, wu)
 
 
-def dino_only(qr, sr):
+def dino_only(v, qr, sr):
     x = jnp.concatenate([qr, sr], axis=0)
     nchw = jnp.transpose(x, (0, 3, 1, 2))
-    return model.apply(variables, nchw, method=lambda m, z: m.dino(z))
+    return model.apply(v, nchw, method=lambda m, z: m.dino(z))
 
 
-def vgg_only(qr, sr):
+def vgg_only(v, qr, sr):
     x = jnp.concatenate([qr, sr], axis=0)
-    return model.apply(variables, x, method=lambda m, z: m.vgg(z))
+    return model.apply(v, x, method=lambda m, z: m.vgg(z))
 
 
-def pyr_coarse(qr, sr):
-    return model.apply(variables, qr, sr, False,
+def pyr_coarse(v, qr, sr):
+    return model.apply(v, qr, sr, False,
                        method=lambda m, a, b, u: m.pyramids(a, b, u))
 
 
-def dec_coarse(qr, sr):
-    f_q, f_s = model.apply(variables, qr, sr, False,
+def dec_coarse(v, qr, sr):
+    f_q, f_s = model.apply(v, qr, sr, False,
                            method=lambda m, a, b, u: m.pyramids(a, b, u))
-    return model.apply(variables, f_q, f_s,
+    return model.apply(v, f_q, f_s,
                        method=lambda m, a, b: m.decoder(a, b))
 
 
-def full(a, b):
+def full(v, a, b):
     sc_ = jnp.ones((B, 2), jnp.float32)
-    return match_fn("gim_roma", cfg, variables, a, b, sc_, sc_)
+    return match_fn("gim_roma", cfg, v, a, b, sc_, sc_)
 
 
-t_dino = timeit("dino", jax.jit(dino_only), qc, sc)
-t_vggc = timeit("vgg_c", jax.jit(vgg_only), qc, sc)
-t_pyrc = timeit("pyr_c", jax.jit(pyr_coarse), qc, sc)
-t_decc = timeit("dec_c+p", jax.jit(dec_coarse), qc, sc)
-t_vggf = timeit("vgg_f", jax.jit(vgg_only), qf, sf)
-t_full = timeit("full", jax.jit(full), img0, img1)
+STAGES = {
+    "dino": (dino_only, (qc, sc)),
+    "vgg_c": (vgg_only, (qc, sc)),
+    "pyr_c": (pyr_coarse, (qc, sc)),
+    "dec_c": (dec_coarse, (qc, sc)),
+    "vgg_f": (vgg_only, (qf, sf)),
+    "full": (full, (img0, img1)),
+}
 
-print(f"\ncoarse pyramids (vgg_c+dino, fused): {t_pyrc:.1f} ms")
-print(f"decoder coarse alone: {t_decc - t_pyrc:.1f} ms")
-print(f"fine remainder (dec_f + warp + sampling): "
-      f"{t_full - t_decc - t_vggf:.1f} ms")
-print(f"full: {t_full:.1f} ms/pair")
+want = sys.argv[1:] or list(STAGES)
+t = {}
+for name in want:
+    fn, args = STAGES[name]
+    t[name] = timeit(name, jax.jit(fn), *args)
+
+if all(k in t for k in ("pyr_c", "dec_c", "vgg_f", "full")):
+    print(f"\ncoarse pyramids (vgg_c+dino, fused): {t['pyr_c']:.1f} ms")
+    print(f"decoder coarse alone: {t['dec_c'] - t['pyr_c']:.1f} ms")
+    print(f"fine remainder (dec_f + warp + sampling): "
+          f"{t['full'] - t['dec_c'] - t['vgg_f']:.1f} ms")
+    print(f"full: {t['full']:.1f} ms/pair")

@@ -146,6 +146,20 @@ def _upsample2x_align_corners(x):
         return x
     Mh = jnp.asarray(_interp_matrix(H, 2 * H), x.dtype)
     Mw = jnp.asarray(_interp_matrix(W, 2 * W), x.dtype)
+    if os.environ.get("GIM_TPU_UPSAMPLE_V2", "0") == "1":
+        # same operators, phrased as clean 2D matmuls on a flattened
+        # minor dim: (2N, N) @ (N, rest) with the contraction on the
+        # leading axis of the data — no mid-axis contraction for XLA's
+        # layout assignment to shuffle around (the @1600 ledger blames
+        # "upsample matmuls transpose H to contract"). One explicit
+        # H<->W transpose moves W to the major position for the second
+        # interp; A/B'd on chip vs the einsum form.
+        x = jnp.einsum("oh,bhm->bom", Mh,
+                       x.reshape(B, H, W * C)).reshape(B, 2 * H, W, C)
+        x = jnp.transpose(x, (0, 2, 1, 3))            # (B, W, 2H, C)
+        x = jnp.einsum("ow,bwm->bom", Mw,
+                       x.reshape(B, W, 2 * H * C)).reshape(B, 2 * W, 2 * H, C)
+        return jnp.transpose(x, (0, 2, 1, 3))
     x = jnp.einsum("oh,bhwc->bowc", Mh, x)
     x = jnp.einsum("ow,bhwc->bhoc", Mw, x)
     return x

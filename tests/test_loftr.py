@@ -186,13 +186,22 @@ def test_upsample2x_align_corners_both_paths_match_torch():
     ref = F.interpolate(t, scale_factor=2.0, mode="bilinear",
                         align_corners=True).numpy().transpose(0, 2, 3, 1)
     old = os.environ.get("GIM_TPU_GATHER_UPSAMPLE")
+    old_v2 = os.environ.get("GIM_TPU_UPSAMPLE_V2")
     try:
         for flag in ("0", "1"):
             os.environ["GIM_TPU_GATHER_UPSAMPLE"] = flag
             out = np.asarray(BB._upsample2x_align_corners(jnp.asarray(x)))
             np.testing.assert_allclose(out, ref, atol=1e-6), flag
+        # flat-matmul variant (GIM_TPU_UPSAMPLE_V2): same operators as
+        # flag=0, phrased as 2D matmuls on a flattened minor dim
+        os.environ["GIM_TPU_GATHER_UPSAMPLE"] = "0"
+        os.environ["GIM_TPU_UPSAMPLE_V2"] = "1"
+        out = np.asarray(BB._upsample2x_align_corners(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
     finally:
-        if old is None:
-            os.environ.pop("GIM_TPU_GATHER_UPSAMPLE", None)
-        else:
-            os.environ["GIM_TPU_GATHER_UPSAMPLE"] = old
+        for k, v in (("GIM_TPU_GATHER_UPSAMPLE", old),
+                     ("GIM_TPU_UPSAMPLE_V2", old_v2)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -54,7 +54,9 @@ hs = ws = c.coarse_res
 hu, wu = c.upsample_res
 
 
-def timeit(name, fn, *args, iters=4, reps=3):
+def timeit(name, fn, *args, iters=4, reps=2):
+    # reps=2: each rep costs ~1 min of serial-relay eager round-trips on
+    # this host (measured session 4); best-of-2 is enough for ms-scale A/Bs
     print(f"[{name}] compiling...", flush=True)
     t0 = time.perf_counter()
     out = fn(variables, *args)

@@ -355,7 +355,14 @@ def _sym_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     is SPD and a Cholesky solve is valid. GIM_TPU_GP_CHOLESKY=1 uses
     cholesky + two triangular solves (~half the factorization FLOPs of
     the default LU `jnp.linalg.solve`, and no pivoting — pivoting is the
-    sequential part that hurts on TPU). Default from the chip A/B."""
+    sequential part that hurts on TPU).
+
+    Default stays LU: on the current axon runtime the cholesky path
+    COMPILES but its first execute HANGS indefinitely (chip evidence
+    2026-08-20: DKM full graph cached 11:23, process futex-stuck >20min;
+    same signature killed a roma dec_c arm). Numerics are CPU-verified
+    (tests/test_dkm.py::test_gp_cholesky_solve_matches_lu); re-A/B when
+    the runtime's linalg custom-calls are fixed."""
     if os.environ.get("GIM_TPU_GP_CHOLESKY", "0") == "1":
         L = jnp.linalg.cholesky(A)
         z = jax.lax.linalg.triangular_solve(

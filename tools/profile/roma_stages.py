@@ -114,12 +114,47 @@ def full(v, a, b):
     return match_fn("gim_roma", cfg, v, a, b, sc_, sc_)
 
 
+# synthetic coarse flow/certainty at the s1 coarse grid (what the
+# upsample decoder consumes, model.py:276-280)
+_flow_c = jax.random.uniform(jax.random.PRNGKey(5), (B, hs, ws, 2),
+                             minval=-0.9, maxval=0.9)
+_cert_c = jax.random.normal(jax.random.PRNGKey(6), (B, hs, ws, 1))
+
+
+def dec_fine(v, qr, sr):
+    """Upsample pyramids + upsample decoder (scales 8->1 at 1344^2)."""
+    f_q, f_s = model.apply(v, qr, sr, True,
+                           method=lambda m, a, b, u: m.pyramids(a, b, u))
+    sfac = (hu * wu / (hs * ws)) ** 0.5
+    return model.apply(
+        v, f_q, f_s,
+        method=lambda m, a, b: m.decoder(a, b, upsample=True, flow=_flow_c,
+                                         certainty=_cert_c,
+                                         scale_factor=sfac))
+
+
+_warp_u = jax.random.uniform(jax.random.PRNGKey(7), (hu, 2 * wu, 4),
+                             minval=-1, maxval=1)
+_cert_u = jax.random.uniform(jax.random.PRNGKey(8), (hu, 2 * wu))
+
+
+def tail_sample(v, w, ce):
+    """Match-extraction tail alone: threshold + top_k over the 3.6M dense
+    grid + balanced KDE resample (api._match_roma -> dkm.sample_matches)."""
+    from gim_tpu.models.dkm.model import sample_matches
+    m, co, va = sample_matches(jax.random.PRNGKey(9), w, ce,
+                               c.num_samples, c.sample_thresh, c.sample_mode)
+    return m
+
+
 STAGES = {
     "dino": (dino_only, (qc, sc)),
     "vgg_c": (vgg_only, (qc, sc)),
     "pyr_c": (pyr_coarse, (qc, sc)),
     "dec_c": (dec_coarse, (qc, sc)),
     "vgg_f": (vgg_only, (qf, sf)),
+    "dec_f": (dec_fine, (qf, sf)),
+    "tail": (tail_sample, (_warp_u, _cert_u)),
     "full": (full, (img0, img1)),
 }
 

@@ -115,10 +115,11 @@ def full(v, a, b):
 
 
 # synthetic coarse flow/certainty at the s1 coarse grid (what the
-# upsample decoder consumes, model.py:276-280)
-_flow_c = jax.random.uniform(jax.random.PRNGKey(5), (B, hs, ws, 2),
+# upsample decoder consumes, model.py:276-280) — batch 2B: the decoder
+# runs the symmetric two-pass batch (q->s rows then s->q rows)
+_flow_c = jax.random.uniform(jax.random.PRNGKey(5), (2 * B, hs, ws, 2),
                              minval=-0.9, maxval=0.9)
-_cert_c = jax.random.normal(jax.random.PRNGKey(6), (B, hs, ws, 1))
+_cert_c = jax.random.normal(jax.random.PRNGKey(6), (2 * B, hs, ws, 1))
 
 
 def dec_fine(v, qr, sr):

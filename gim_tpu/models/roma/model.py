@@ -131,6 +131,13 @@ class RoMaDecoder(nn.Module):
         c = self.cfg
         scales = ["8", "4", "2", "1"] if upsample else \
             ["16", "8", "4", "2", "1"]
+        if upsample:
+            # profiling-only knob (tools/profile/roma_stages.py): run just
+            # the first N upsample scales to attribute the refiner cascade
+            import os
+            _pfx = os.environ.get("GIM_TPU_ROMA_UPS_PREFIX")
+            if _pfx:
+                scales = scales[:int(_pfx)]
         sizes = {s: f1[s].shape[1:3] for s in f1}
         H, W = sizes[1]
         B = f1[1].shape[0]

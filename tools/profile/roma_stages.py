@@ -162,6 +162,14 @@ STAGES = {
 want = sys.argv[1:] or list(STAGES)
 t = {}
 for name in want:
+    if name.startswith("dec_f") and len(name) > 5:
+        # dec_f1 .. dec_f4: cumulative-prefix ablation of the upsample
+        # scales (8 -> 8,4 -> 8,4,2 -> all) via GIM_TPU_ROMA_UPS_PREFIX
+        os.environ["GIM_TPU_ROMA_UPS_PREFIX"] = name[5:]
+        fn, args = STAGES["dec_f"]
+        t[name] = timeit(name, jax.jit(dec_fine), *args)
+        del os.environ["GIM_TPU_ROMA_UPS_PREFIX"]
+        continue
     fn, args = STAGES[name]
     t[name] = timeit(name, jax.jit(fn), *args)
 

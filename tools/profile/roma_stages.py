@@ -164,10 +164,14 @@ t = {}
 for name in want:
     if name.startswith("dec_f") and len(name) > 5:
         # dec_f1 .. dec_f4: cumulative-prefix ablation of the upsample
-        # scales (8 -> 8,4 -> 8,4,2 -> all) via GIM_TPU_ROMA_UPS_PREFIX
+        # scales (8 -> 8,4 -> 8,4,2 -> all) via GIM_TPU_ROMA_UPS_PREFIX.
+        # A FRESH function object per prefix: jax.jit caches on the
+        # underlying callable, so re-wrapping the same fn would silently
+        # reuse the first prefix's executable (env is read at trace time).
         os.environ["GIM_TPU_ROMA_UPS_PREFIX"] = name[5:]
-        fn, args = STAGES["dec_f"]
-        t[name] = timeit(name, jax.jit(dec_fine), *args)
+        fresh = lambda v, a, b: dec_fine(v, a, b)   # noqa: E731
+        _, args = STAGES["dec_f"]
+        t[name] = timeit(name, jax.jit(fresh), *args)
         del os.environ["GIM_TPU_ROMA_UPS_PREFIX"]
         continue
     fn, args = STAGES[name]

@@ -369,6 +369,36 @@ def _sym_solve(A: jax.Array, b: jax.Array) -> jax.Array:
             L, b, left_side=True, lower=True, transpose_a=False)
         return jax.lax.linalg.triangular_solve(
             L, z, left_side=True, lower=True, transpose_a=True)
+    cg = int(os.environ.get("GIM_TPU_GP_CG", "0"))
+    if cg:
+        # batched conjugate gradients: GIM_TPU_GP_CG=<iters>. Trades the
+        # LU factorization's sequential panel updates for cg matvecs
+        # (B, n, n) @ (B, n, d) — pure MXU work. Each rhs column gets its
+        # own alpha/beta (vectorized scalar recurrences). A is SPD with
+        # unit-ish diagonal (kernel diag 1 + sigma), so plain CG with a
+        # fixed iteration count is shape-static and jit-friendly.
+        def matvec(X):
+            return jnp.einsum("bij,bjd->bid", A, X)
+
+        X = jnp.zeros_like(b)
+        R = b - matvec(X)                      # = b at X=0
+        P = R
+        rs = jnp.sum(R * R, axis=1, keepdims=True)          # (B, 1, d)
+
+        def step(_, carry):
+            X, R, P, rs = carry
+            AP = matvec(P)
+            denom = jnp.sum(P * AP, axis=1, keepdims=True)
+            alpha = rs / jnp.maximum(denom, 1e-30)
+            X = X + alpha * P
+            R = R - alpha * AP
+            rs_new = jnp.sum(R * R, axis=1, keepdims=True)
+            beta = rs_new / jnp.maximum(rs, 1e-30)
+            P = R + beta * P
+            return X, R, P, rs_new
+
+        X, _, _, _ = jax.lax.fori_loop(0, cg, step, (X, R, P, rs))
+        return X
     return jnp.linalg.solve(A, b)
 
 

@@ -188,6 +188,25 @@ def test_gp_cholesky_solve_matches_lu(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gp_cg_solve_matches_lu(monkeypatch):
+    """GIM_TPU_GP_CG=<iters> (batched conjugate gradients, pure-MXU
+    matvecs) must agree with the LU path; 64 iterations reach the f32
+    floor at the GP's realistic conditioning (smooth features, cond ~77
+    measured in the session-4 convergence study)."""
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(rng, (2, 6, 7, 16))
+    y = jax.random.normal(jax.random.PRNGKey(10), (2, 6, 7, 16))
+    gp = B.GP(gp_dim=8)
+    with HIGH:
+        variables = gp.init(rng, x, y)
+        monkeypatch.delenv("GIM_TPU_GP_CG", raising=False)
+        mu_lu = gp.apply(variables, x, y)
+        monkeypatch.setenv("GIM_TPU_GP_CG", "64")
+        mu_cg = gp.apply(variables, x, y)
+    np.testing.assert_allclose(np.asarray(mu_cg), np.asarray(mu_lu),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_kde_density_matches_torch_cdist():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((50, 4)).astype(np.float32)
